@@ -1,0 +1,222 @@
+"""Per-picture decoding: header parse, CTU loop, deblock, checksum.
+
+Behavioral equivalent of the reference picture decoder
+(ref: src/xvc_dec_lib/picture_decoder.cc).
+"""
+from dataclasses import dataclass
+
+from .. import constants as k
+from .. import segment as seg
+from ..ops.deblock import DeblockingFilter
+from ..ops.quant import Qp
+from ..syntax.reader import SyntaxReader
+from . import checksum as cksum
+from .cu import PictureData, ReferencePictureLists
+from .cu_decoder import CuDecoder
+from .yuv import YuvPicture
+
+
+@dataclass
+class PicNalHeader:
+    nal_unit_type: int = 0
+    soc: int = 0
+    poc: int = 0
+    doc: int = 0
+    tid: int = 0
+    pic_qp: int = 0
+    highest_layer: bool = False
+    deblock: bool = True
+    allow_lic: bool = False
+
+
+def decode_header(segment_header, bit_reader, state, prev_sub_gop_length,
+                  doc, soc_counter, num_buffered_nals, restrictions):
+    """Reconstruct POC/DOC/TID from the picture NAL header.
+
+    state: dict with keys sub_gop_end_poc, sub_gop_start_poc,
+    sub_gop_length (mutated).  (ref: picture_decoder.cc:52-141)
+    """
+    header_byte = bit_reader.read_bits(8)
+    nal_unit_type = k.NalUnitType((header_byte >> 1) & 31)
+    buffer_flag = bit_reader.read_bits(1)
+    soc = (soc_counter - 1) & 0xFF if buffer_flag else soc_counter
+    tid = bit_reader.read_bits(3)
+    if nal_unit_type == k.NalUnitType.INTRA_ACCESS_PICTURE and \
+            segment_header.leading_pictures:
+        state["sub_gop_length"] = segment_header.max_sub_gop_length
+        state["sub_gop_start_poc"] += k.MAX_SUB_GOP_LENGTH if doc > 1 else 0
+        state["sub_gop_end_poc"] = state["sub_gop_start_poc"]
+    elif tid == 0:
+        length = segment_header.max_sub_gop_length
+        if num_buffered_nals:
+            state["sub_gop_length"] = prev_sub_gop_length
+        elif nal_unit_type == k.NalUnitType.INTRA_ACCESS_PICTURE:
+            state["sub_gop_length"] = 1
+        elif length > 0:
+            state["sub_gop_length"] = length
+        elif doc > 0:
+            state["sub_gop_length"] = 1
+        state["sub_gop_start_poc"] = state["sub_gop_end_poc"]
+    elif segment_header.max_sub_gop_length > state["sub_gop_length"]:
+        state["sub_gop_length"] = segment_header.max_sub_gop_length
+    pic_qp = bit_reader.read_bits(7) - k.QP_SIGNAL_BASE
+    allow_lic = False
+    if not restrictions.disable_ext2_inter_local_illumination_comp:
+        allow_lic = bit_reader.read_bit() != 0
+    deblock = segment_header.deblocking_mode != k.DeblockingMode.DISABLED
+    if segment_header.deblocking_mode == k.DeblockingMode.PER_PICTURE:
+        deblock = bit_reader.read_bit() != 0
+    bit_reader.skip_bits()
+
+    if doc > state["sub_gop_end_poc"]:
+        state["sub_gop_start_poc"] = state["sub_gop_end_poc"]
+    while doc > state["sub_gop_start_poc"] + state["sub_gop_length"]:
+        state["sub_gop_start_poc"] += state["sub_gop_length"]
+    if doc > 0 and doc <= state["sub_gop_start_poc"]:
+        doc = state["sub_gop_start_poc"] + 1
+    while not segment_header.low_delay and \
+            seg.calc_tid_from_doc(doc, state["sub_gop_length"],
+                                  state["sub_gop_start_poc"]) != tid:
+        doc += 1
+        if doc > state["sub_gop_end_poc"]:
+            state["sub_gop_start_poc"] = state["sub_gop_end_poc"]
+    if tid == 0:
+        state["sub_gop_end_poc"] = seg.calc_poc_from_doc(
+            doc, state["sub_gop_length"], state["sub_gop_start_poc"])
+    poc = seg.calc_poc_from_doc(doc, state["sub_gop_length"],
+                                state["sub_gop_start_poc"])
+    if segment_header.low_delay:
+        poc = doc
+    return PicNalHeader(
+        nal_unit_type=nal_unit_type, soc=soc, poc=poc, doc=doc, tid=tid,
+        pic_qp=pic_qp,
+        highest_layer=(tid == seg.get_max_tid(state["sub_gop_length"])),
+        deblock=deblock, allow_lic=allow_lic)
+
+
+class PictureDecoder:
+    """Holds reconstruction state for one picture; recycled via the pool."""
+
+    def __init__(self, pic_format_chroma, width, height, bitdepth,
+                 crop_width=0, crop_height=0):
+        self.pic_data = PictureData(pic_format_chroma, width, height,
+                                    bitdepth)
+        self.rec_pic = YuvPicture(pic_format_chroma, width, height, bitdepth,
+                                  True, crop_width, crop_height)
+        self.alt_rec_pic = None
+        self.output_status_done = True  # has been output
+        self.ref_count = 0
+        self.pic_qp = 0
+        self.output_format = None
+        self.user_data = 0
+        self.is_conforming = True
+        self.output_pic_bytes = b""
+        self.pic_hash = b""
+
+    def get_alternative_rec_pic(self, segment_header):
+        if self.alt_rec_pic is not None:
+            return self.alt_rec_pic
+        from ..ops import resample
+        sh = segment_header
+        alt = YuvPicture(sh.chroma_format, sh.internal_width,
+                         sh.internal_height, sh.internal_bitdepth, True,
+                         sh.crop_width, sh.crop_height)
+        for c in range(k.num_components(sh.chroma_format)):
+            if (self.rec_pic.chroma_format == k.ChromaFormat.MONOCHROME
+                    and c != 0):
+                alt.plane_view(c)[:] = 1 << (alt.bitdepth - 1)
+                continue
+            resample.resample_plane(
+                alt.plane_view(c), alt.bitdepth,
+                self.rec_pic.plane_view(c), self.rec_pic.bitdepth)
+        alt.pad_border()
+        self.alt_rec_pic = alt
+        return alt
+
+    def init_pic(self, segment, header, ref_pic_list, output_pic_format,
+                 user_data):
+        self.pic_qp = header.pic_qp
+        self.output_format = output_pic_format
+        self.user_data = user_data
+        self.output_status_done = False
+        self.ref_count = 0
+        self.alt_rec_pic = None
+        pd = self.pic_data
+        pd.nal_type = header.nal_unit_type
+        pd.soc = header.soc
+        pd.poc = header.poc
+        pd.doc = header.doc
+        pd.tid = header.tid
+        pd.sub_gop_length = segment.max_sub_gop_length
+        pd.highest_layer = header.highest_layer and not segment.low_delay
+        pd.adaptive_qp = segment.adaptive_qp
+        pd.deblock = header.deblock
+        pd.beta_offset = segment.beta_offset
+        pd.tc_offset = segment.tc_offset
+        pd.lic_active = header.allow_lic
+        pd.ref_pic_lists = ref_pic_list
+
+    def decode(self, segment, prev_segment, bit_reader, post_process=True):
+        pd = self.pic_data
+        restr = segment.restrictions
+        qp = Qp(self.pic_qp, pd.chroma_format, pd.bitdepth, 0.0,
+                segment.chroma_qp_offset_table, segment.chroma_qp_offset_u,
+                segment.chroma_qp_offset_v)
+        pd.init(segment, qp, True)
+        reader = SyntaxReader(qp, pd.get_prediction_type(), bit_reader,
+                              restr)
+        cu_decoder = CuDecoder(self.rec_pic, pd, restr)
+        for rsaddr in range(pd.get_number_of_ctus()):
+            cu_decoder.decode_ctu(rsaddr, reader)
+        if pd.deblock:
+            deblocker = DeblockingFilter(pd, self.rec_pic, pd.beta_offset,
+                                         pd.tc_offset, restr)
+            deblocker.deblock_picture()
+        success = True
+        if not reader.finish():
+            success = False
+        if pd.tid == 0 or not pd.highest_layer:
+            self.rec_pic.pad_border()
+        if pd.nal_type == k.NalUnitType.INTRA_ACCESS_PICTURE and \
+                prev_segment.open_gop:
+            self._generate_alternative_rec_pic(segment, prev_segment)
+        pd.ref_pic_lists.zero_out_references()
+        if post_process:
+            success = self.postprocess(segment, bit_reader) and success
+        return success
+
+    def _generate_alternative_rec_pic(self, segment, prev_segment):
+        ps = prev_segment
+        if (ps.chroma_format == k.ChromaFormat.UNDEFINED or
+                ps.internal_width <= 0 or ps.internal_height <= 0 or
+                (ps.chroma_format == segment.chroma_format and
+                 ps.internal_width == segment.internal_width and
+                 ps.internal_height == segment.internal_height and
+                 ps.internal_bitdepth == segment.internal_bitdepth)):
+            return
+        self.get_alternative_rec_pic(prev_segment)
+
+    def postprocess(self, segment, bit_reader):
+        success = True
+        if self.pic_data.tid == 0 or \
+                segment.checksum_mode == k.ChecksumMode.MAX_ROBUST:
+            success = self._validate_checksum(segment, bit_reader)
+        else:
+            self.pic_hash = b""
+        out_fmt = self.output_format
+        self.output_pic_bytes = self.rec_pic.to_bytes(
+            out_bitdepth=out_fmt.get("bitdepth", self.rec_pic.bitdepth),
+            dither=out_fmt.get("dither", False))
+        return success
+
+    def _validate_checksum(self, segment, bit_reader):
+        restr = segment.restrictions
+        method = k.ChecksumMethod.CRC if \
+            restr.disable_high_level_default_checksum_method else \
+            k.ChecksumMethod.MD5
+        self.pic_hash = cksum.hash_picture(self.rec_pic, method,
+                                           segment.checksum_mode)
+        if segment.major_version <= 1:
+            bit_reader.read_byte()
+        expected = bit_reader.read_bytes(len(self.pic_hash))
+        return expected == self.pic_hash
