@@ -38,3 +38,15 @@ def test_all_intra_cif_bit_exact():
 def test_output_order_and_poc():
     pics = decode_stream(read_data("ai64x48.xvc"))
     assert [p.poc for p in pics] == [0, 1, 2]
+
+
+INTER_STREAMS = ["ld64x48", "ra64x48", "radbg"]
+
+
+@pytest.mark.parametrize("name", INTER_STREAMS)
+def test_inter_bit_exact(name):
+    bitstream = read_data(name + ".xvc")
+    expected = read_data(name + "_dec.yuv")
+    pics = decode_stream(bitstream)
+    assert all(p.conforming for p in pics), "checksum mismatch"
+    assert b"".join(p.bytes for p in pics) == expected

@@ -177,6 +177,36 @@ class CodingUnit:
                                   self.pos_x - k.MIN_BLOCK_SIZE,
                                   self.pos_y + self.height)
 
+    def get_cu_with_corner(self, direction):
+        """direction: one of 'above_left', 'above', 'above_corner',
+        'above_right', 'left', 'left_corner', 'left_below'.
+        Returns (cu, mv_corner) (ref: coding_unit.cc:179-225)."""
+        m = k.MIN_BLOCK_SIZE
+        if direction == "above_left":
+            cu = self.get_cu_above_left()
+            x, y = self.pos_x - m, self.pos_y - m
+        elif direction == "above":
+            cu = self.get_cu_above()
+            x, y = self.pos_x, self.pos_y - m
+        elif direction == "above_corner":
+            cu = self.get_cu_above_corner()
+            x, y = self.pos_x + self.width - m, self.pos_y - m
+        elif direction == "above_right":
+            cu = self.get_cu_above_right()
+            x, y = self.pos_x + self.width, self.pos_y - m
+        elif direction == "left":
+            cu = self.get_cu_left()
+            x, y = self.pos_x - m, self.pos_y
+        elif direction == "left_corner":
+            cu = self.get_cu_left_corner()
+            x, y = self.pos_x - m, self.pos_y + self.height - m
+        else:  # left_below
+            cu = self.get_cu_left_below()
+            x, y = self.pos_x - m, self.pos_y + self.height
+        if cu is None:
+            return None, 0
+        return cu, cu.get_mv_corner(x, y)
+
     def get_cu_size_above_right(self, comp):
         """(ref: coding_unit.cc:304-319)"""
         chroma_shift = max(self.pic.chroma_shift_x, self.pic.chroma_shift_y)
@@ -381,10 +411,12 @@ class ReferencePictureLists:
     def __init__(self):
         self.entries = [[], []]  # per list: list of RefEntry
         self.current_poc = -1
+        self.only_back_references = True
 
     def reset(self, current_poc):
         self.entries = [[], []]
         self.current_poc = current_poc
+        self.only_back_references = True
 
     def set_ref_pic(self, ref_list, ref_idx, poc, pic_data, rec_pic,
                     orig_pic=None):
@@ -392,6 +424,8 @@ class ReferencePictureLists:
         while len(lst) <= ref_idx:
             lst.append(None)
         lst[ref_idx] = RefEntry(poc, pic_data, rec_pic, orig_pic)
+        if poc > self.current_poc:
+            self.only_back_references = False
 
     def has_ref_poc(self, ref_list, poc):
         for e in self.entries[ref_list]:
@@ -399,8 +433,18 @@ class ReferencePictureLists:
                 return True
         return False
 
+    def has_only_back_references_flag(self):
+        return self.only_back_references
+
     def zero_out_references(self):
-        self.entries = [[], []]
+        # Keep POC entries (needed for cross-picture TMVP scaling) but
+        # release picture memory (ref: reference_picture_lists.cc:124-135).
+        for lst in self.entries:
+            for e in lst:
+                if e is not None:
+                    e.pic_data = None
+                    e.rec_pic = None
+                    e.orig_pic = None
 
     def get_coding_unit_at(self, ref_list, ref_idx, cu_tree, posx, posy):
         pd = self.entries[ref_list][ref_idx].pic_data
@@ -544,7 +588,7 @@ class PictureData:
         if self.is_intra_pic() or \
                 restrictions.disable_ext2_inter_bipred_l1_mvd_zero:
             return False
-        return self.ref_pic_lists.has_only_back_references(self.poc)
+        return self.ref_pic_lists.has_only_back_references_flag()
 
     def _determine_tmvp_ref_list(self, restrictions):
         self.tmvp_ref_idx = 0

@@ -22,7 +22,7 @@ class CuDecoder:
         self.min_pel = 0
         self.max_pel = (1 << rec_pic.bitdepth) - 1
         self.cu_reader = CuReader(pic_data, restrictions)
-        self.inter = mc.InterPredictor(pic_data, rec_pic.bitdepth,
+        self.inter = mc.InterPredictor(pic_data, rec_pic, rec_pic.bitdepth,
                                        restrictions)
         self._lm_luma_cache = None
 

@@ -1,17 +1,16 @@
-"""Inter prediction: MV derivation + motion compensation.
+"""Inter prediction facade: MV derivation + motion compensation.
 
 Behavioral equivalent of the reference inter predictor
-(ref: src/xvc_common_lib/inter_prediction.{h,cc}).  Implemented in the
-inter phase; the class interface is in place so the decoder wires up.
+(ref: src/xvc_common_lib/inter_prediction.{h,cc}).  The heavy lifting
+lives in xvc_tpu.codec.inter_mv (MV derivation) and
+xvc_tpu.codec.inter_mc (interpolation filters).
 """
-import numpy as np
-
-from .. import constants as k
 
 
 class InterPredictor:
-    def __init__(self, pic_data, bitdepth, restrictions):
+    def __init__(self, pic_data, rec_pic, bitdepth, restrictions):
         self.pic = pic_data
+        self.rec_pic = rec_pic
         self.bitdepth = bitdepth
         self.restr = restrictions
 
