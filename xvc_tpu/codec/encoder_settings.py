@@ -1,0 +1,113 @@
+"""Encoder tuning settings with speed-mode presets.
+
+Behavioral equivalent of the reference settings
+(ref: src/xvc_enc_lib/encoder_settings.{h,cc}).
+"""
+from dataclasses import dataclass
+
+
+class SpeedMode:
+    PLACEBO = 0
+    SLOW = 1
+    FAST = 2
+
+
+class TuneMode:
+    DEFAULT = 0
+    PSNR = 1
+
+
+@dataclass
+class EncoderSettings:
+    # rdo behavior (compile-time in the reference)
+    encoder_strict_rdo_bit_counting: bool = False
+    encoder_count_actual_written_bits: bool = True
+    rdo_quant: bool = True
+    fast_cu_split_based_on_full_cu: bool = True
+    fast_mode_selection_for_cached_cu: bool = True
+    skip_mode_decision_for_identical_cu: bool = False
+    fast_inter_transform_dist: bool = True
+    fast_inter_root_cbf_zero_bits: bool = False
+    inter_search_range_bi: int = 4
+
+    # speed mode dependent
+    inter_search_range_uni_max: int = 256
+    inter_search_range_uni_min: int = 96
+    bipred_refinement_iterations: int = -1
+    always_evaluate_intra_in_inter: int = -1
+    default_num_ref_pics: int = -1
+    max_binary_split_depth: int = -1
+    fast_transform_select_eval: int = -1
+    fast_intra_mode_eval_level: int = -1
+    fast_transform_size_64: int = -1
+    fast_transform_select: int = -1
+    fast_inter_local_illumination_comp: int = -1
+    fast_inter_adaptive_fullpel_mv: int = -1
+
+    # defaults used in all speed modes
+    fast_merge_eval: int = 1
+    fast_quad_split_based_on_binary_split: int = 1
+    eval_prev_mv_search_result: int = 1
+    fast_inter_pred_bits: int = 0
+    rdo_quant_2x2: int = 1
+    intra_qp_offset: int = 0
+    smooth_lambda_scaling: int = 1
+    adaptive_qp: int = 2
+    aqp_strength: int = 13
+    structural_ssd: int = 1
+    structural_strength: int = 16
+    encapsulation_mode: int = 0
+    leading_pictures: int = 0
+    source_padding: int = 1
+    chroma_qp_offset_table: int = 1
+    chroma_qp_offset_u: int = 0
+    chroma_qp_offset_v: int = 0
+    flat_lambda: int = 0
+    lambda_scale_a: float = 1.0
+    lambda_scale_b: float = 0.0
+
+    def initialize_speed(self, speed_mode):
+        if speed_mode == SpeedMode.PLACEBO:
+            self.inter_search_range_uni_max = 384
+            self.inter_search_range_uni_min = 96
+            self.bipred_refinement_iterations = 4
+            self.always_evaluate_intra_in_inter = 1
+            self.default_num_ref_pics = 3
+            self.max_binary_split_depth = 3
+            self.fast_transform_select_eval = 0
+            self.fast_intra_mode_eval_level = 1
+            self.fast_transform_size_64 = 0
+            self.fast_transform_select = 0
+            self.fast_inter_local_illumination_comp = 0
+            self.fast_inter_adaptive_fullpel_mv = 0
+        elif speed_mode == SpeedMode.SLOW:
+            self.bipred_refinement_iterations = 1
+            self.always_evaluate_intra_in_inter = 0
+            self.default_num_ref_pics = 2
+            self.max_binary_split_depth = 2
+            self.fast_transform_select_eval = 1
+            self.fast_intra_mode_eval_level = 1
+            self.fast_transform_size_64 = 0
+            self.fast_transform_select = 0
+            self.fast_inter_local_illumination_comp = 0
+            self.fast_inter_adaptive_fullpel_mv = 0
+        elif speed_mode == SpeedMode.FAST:
+            self.bipred_refinement_iterations = 1
+            self.always_evaluate_intra_in_inter = 0
+            self.default_num_ref_pics = 1
+            self.max_binary_split_depth = 2
+            self.fast_transform_select_eval = 1
+            self.fast_intra_mode_eval_level = 2
+            self.fast_transform_size_64 = 1
+            self.fast_transform_select = 1
+            self.fast_inter_local_illumination_comp = 1
+            self.fast_inter_adaptive_fullpel_mv = 1
+        else:
+            raise ValueError("bad speed mode")
+
+    def tune(self, tune_mode):
+        if tune_mode == TuneMode.PSNR:
+            self.adaptive_qp = 0
+            self.structural_ssd = 0
+            self.source_padding = 1
+            self.chroma_qp_offset_table = 0

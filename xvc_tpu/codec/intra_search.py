@@ -1,0 +1,212 @@
+"""Intra mode search: SATD pre-pass + full RD reconstruction.
+
+Behavioral equivalent of the reference intra search
+(ref: src/xvc_enc_lib/intra_search.cc).
+"""
+import numpy as np
+
+from .. import constants as k
+from ..ops import intra_pred as ip
+from ..ops import metrics as met
+from ..syntax.writer import SyntaxWriter
+from . import intra_modes
+from .transform_encoder import (TxSearchFlags, load_comp_state,
+                                save_comp_state)
+
+_COST_MAX = (1 << 62)
+_NUM_INTRA_FAST_MODES_EXT = (
+    (0, 0, 0, 0, 0, 0, 0, 0),
+    (0, 0, 0, 0, 0, 0, 0, 0),
+    (0, 0, 3, 3, 3, 3, 2, 2),
+    (0, 0, 3, 3, 3, 3, 3, 2),
+    (0, 0, 3, 3, 3, 3, 3, 2),
+    (0, 0, 3, 3, 3, 3, 3, 2),
+    (0, 0, 2, 3, 3, 3, 3, 2),
+    (0, 0, 2, 2, 2, 2, 2, 3),
+)
+_NUM_INTRA_FAST_MODES_NO_EXT = (0, 3, 8, 8, 3, 3, 3)
+
+
+class IntraSearch:
+    def __init__(self, bitdepth, pic_data, orig_pic, settings, cu_writer):
+        self.bitdepth = bitdepth
+        self.pic = pic_data
+        self.orig_pic = orig_pic
+        self.settings = settings
+        self.satd_metric = met.SampleMetric(bitdepth, met.MetricType.SATD)
+        self.cu_writer = cu_writer
+        self._best_state = {}
+
+    # ---- prediction ----
+    def predict(self, cu, comp, mode, rec_pic, cu_decoder_helpers):
+        """Intra predict one block using current reconstruction."""
+        return cu_decoder_helpers.predict_intra_mode(cu, comp, mode, rec_pic)
+
+    def compress_intra_luma(self, cu, qp, bitstream_writer, encoder, rec_pic,
+                            helpers):
+        """(ref: intra_search.cc:43-90)"""
+        comp = 0
+        modes_cost = self._determine_slow_intra_modes(
+            cu, qp, bitstream_writer, encoder, rec_pic, helpers)
+
+        best_mode = -1
+        best_cost = _COST_MAX
+        best_dist = _COST_MAX
+        best_is_applied = False
+        best_uses_tx_select = False
+        for intra_mode in modes_cost:
+            cu.intra_mode_luma = intra_mode
+            best_is_applied = False
+            rdo_writer = SyntaxWriter.rdo_clone(bitstream_writer, 0)
+            ssd = self.predict_and_transform(cu, comp, qp, rdo_writer,
+                                             encoder, rec_pic, helpers)
+            self.cu_writer.write_component(cu, comp, rdo_writer)
+            bits = rdo_writer.get_num_written_bits()
+            cost = ssd + int(bits * qp.get_lambda() + 0.5)
+            bias_normal_tx = (cost == best_cost and best_uses_tx_select and
+                              cu.tx_select_idx < 0)
+            if cost < best_cost or bias_normal_tx:
+                best_cost = cost
+                best_dist = ssd
+                best_mode = intra_mode
+                best_uses_tx_select = cu.tx_select_idx >= 0
+                best_is_applied = True
+                self._best_state[0] = save_comp_state(cu, rec_pic, 0)
+        cu.intra_mode_luma = best_mode
+        if not best_is_applied:
+            load_comp_state(cu, rec_pic, 0, self._best_state[0])
+        return best_dist
+
+    def compress_intra_chroma(self, cu, qp, bitstream_writer, encoder,
+                              rec_pic, helpers):
+        """(ref: intra_search.cc:92-158)"""
+        restr = self.pic.restrictions
+        luma_cu = cu if cu.cu_tree == k.CuTree.PRIMARY else \
+            self.pic.get_cu_at(k.CuTree.PRIMARY, cu.pos_x, cu.pos_y)
+        luma_mode = luma_cu.intra_mode_luma
+        chroma_modes = intra_modes.get_predictors_chroma(luma_mode, restr)
+        if restr.disable_intra_chroma_predictor:
+            cu.intra_mode_chroma = k.INTRA_CHROMA_DM
+            d = self.predict_and_transform(cu, 1, qp, bitstream_writer,
+                                           encoder, rec_pic, helpers)
+            d += self.predict_and_transform(cu, 2, qp, bitstream_writer,
+                                            encoder, rec_pic, helpers)
+            return d
+
+        best_cost = _COST_MAX
+        best_dist = 0
+        best_mode = None
+        best_is_applied = False
+        for chroma_mode in chroma_modes:
+            if chroma_mode == 99:
+                continue
+            cu.intra_mode_chroma = chroma_mode
+            best_is_applied = False
+            rdo_writer = SyntaxWriter.rdo_clone(bitstream_writer, 0)
+            dist = self.predict_and_transform(cu, 1, qp, rdo_writer,
+                                              encoder, rec_pic, helpers)
+            self.cu_writer.write_residual_data(cu, 1, rdo_writer)
+            dist += self.predict_and_transform(cu, 2, qp, rdo_writer,
+                                               encoder, rec_pic, helpers)
+            self.cu_writer.write_residual_data(cu, 2, rdo_writer)
+            self.cu_writer.write_intra_prediction(cu, 1, rdo_writer)
+            self.cu_writer.write_intra_prediction(cu, 2, rdo_writer)
+            bits = rdo_writer.get_num_written_bits()
+            cost = dist + int(bits * qp.get_lambda() + 0.5)
+            if cost < best_cost:
+                best_cost = cost
+                best_dist = dist
+                best_mode = chroma_mode
+                best_is_applied = True
+                self._best_state[1] = save_comp_state(cu, rec_pic, 1)
+                self._best_state[2] = save_comp_state(cu, rec_pic, 2)
+        cu.intra_mode_chroma = best_mode
+        if not best_is_applied:
+            load_comp_state(cu, rec_pic, 1, self._best_state[1])
+            load_comp_state(cu, rec_pic, 2, self._best_state[2])
+        return best_dist
+
+    def compress_intra_fast(self, cu, comp, qp, writer, encoder, rec_pic,
+                            helpers):
+        return self.predict_and_transform(cu, comp, qp, writer, encoder,
+                                          rec_pic, helpers)
+
+    def predict_and_transform(self, cu, comp, qp, writer, encoder, rec_pic,
+                              helpers):
+        """(ref: intra_search.cc:172-186)"""
+        mode = cu.get_intra_mode(comp)
+        pred = helpers.predict_intra_mode(cu, comp, mode, rec_pic)
+        encoder.set_pred_buffer(comp, pred)
+        tx_flags = TxSearchFlags.FULL_EVAL & ~TxSearchFlags.CBF_ZERO
+        cost = encoder.compress_and_eval_transform(
+            cu, comp, qp, writer, self.orig_pic, tx_flags, None,
+            self.cu_writer, rec_pic)
+        return cost[1]
+
+    def _determine_slow_intra_modes(self, cu, qp, bitstream_writer, encoder,
+                                    rec_pic, helpers):
+        """(ref: intra_search.cc:188-303); returns ordered mode list."""
+        restr = self.pic.restrictions
+        comp = 0
+        num_intra_modes = k.NBR_INTRA_MODES_EXT \
+            if not restr.disable_ext2_intra_67_modes else k.NBR_INTRA_MODES
+        two_passes = not restr.disable_ext2_intra_67_modes
+        cx, cy = cu.pos(comp)
+        w, h = cu.size(comp)
+        orig_blk = self.orig_pic.plane_view(comp)[cy:cy + h, cx:cx + w]
+        evaluated = [False] * k.NBR_INTRA_MODES_EXT
+        mpm = intra_modes.get_predictor_luma(cu, restr)
+        modes_cost = []
+
+        def eval_mode(intra_mode):
+            pred = helpers.predict_intra_mode(cu, comp, intra_mode, rec_pic)
+            rdo_writer = SyntaxWriter.rdo_clone(bitstream_writer, 0)
+            rdo_writer.write_intra_mode(intra_mode, mpm)
+            bits = rdo_writer.get_num_written_bits()
+            dist = self.satd_metric.compare(qp, comp, orig_blk, pred)
+            return dist + bits * qp.lambda_sqrt
+
+        for i in range(num_intra_modes):
+            if two_passes and i > 1 and (i % 2) != 0:
+                modes_cost.append((i, float("inf")))
+                continue
+            cost = eval_mode(i)
+            modes_cost.append((i, cost))
+            evaluated[i] = True
+        modes_cost.sort(key=lambda p: p[1])
+
+        width_log2 = w.bit_length() - 1
+        height_log2 = h.bit_length() - 1
+        num_modes_for_slow_rdo = _NUM_INTRA_FAST_MODES_NO_EXT[
+            min(width_log2, 6)]
+        if self.settings.fast_intra_mode_eval_level == 2:
+            num_modes_for_slow_rdo = \
+                _NUM_INTRA_FAST_MODES_EXT[width_log2][height_log2]
+        elif self.settings.fast_intra_mode_eval_level == 0:
+            num_modes_for_slow_rdo = 33
+
+        if two_passes:
+            modes_added = num_modes_for_slow_rdo
+            for i in range(num_modes_for_slow_rdo):
+                base_mode = modes_cost[i][0]
+                if base_mode <= 2 or base_mode >= k.NBR_INTRA_MODES_EXT - 1:
+                    continue
+                for offset in (-1, 1):
+                    intra_mode = base_mode + offset
+                    if evaluated[intra_mode]:
+                        continue
+                    cost = eval_mode(intra_mode)
+                    if modes_added < len(modes_cost):
+                        modes_cost[modes_added] = (intra_mode, cost)
+                    else:
+                        modes_cost.append((intra_mode, cost))
+                    modes_added += 1
+                    evaluated[intra_mode] = True
+            modes_cost[:modes_added] = sorted(modes_cost[:modes_added],
+                                              key=lambda p: p[1])
+
+        out = [m for m, _ in modes_cost[:num_modes_for_slow_rdo]]
+        for i in range(mpm.num_neighbor_modes):
+            if mpm[i] not in out:
+                out.append(mpm[i])
+        return out

@@ -1,0 +1,241 @@
+"""Per-picture encoding: QP/lambda derivation, CTU loop, checksum, PSNR.
+
+Behavioral equivalent of the reference picture encoder
+(ref: src/xvc_enc_lib/picture_encoder.cc).
+"""
+import math
+
+import numpy as np
+
+from .. import constants as k
+from .. import segment as seg
+from ..bitio import BitWriter
+from ..ops import metrics as met
+from ..ops.deblock import DeblockingFilter
+from ..ops.quant import Qp
+from ..syntax.writer import SyntaxWriter
+from . import checksum as cksum
+from .cu import PictureData
+from .cu_encoder import CuEncoder
+from .yuv import YuvPicture
+
+
+class PictureEncoder:
+    def __init__(self, chroma_format, width, height, bitdepth,
+                 crop_width=0, crop_height=0):
+        self.orig_pic = YuvPicture(chroma_format, width, height, bitdepth,
+                                   False, crop_width, crop_height)
+        self.pic_data = PictureData(chroma_format, width, height, bitdepth)
+        self.rec_pic = YuvPicture(chroma_format, width, height, bitdepth,
+                                  True, 0, 0)
+        self.output_status = "has_been_output"
+        self.buffer_flag = False
+        self.ref_count = 0
+        self.user_data = 0
+        self.pic_hash = b""
+        self.rec_sse = 0
+        self.rec_psnr = [0.0, 0.0, 0.0]
+
+    # interface used by ReferenceListSorter
+    def get_alternative_rec_pic(self, segment_header):
+        raise NotImplementedError
+
+    def init_pic(self, segment, doc, poc, tid, is_access_picture,
+                 restrictions):
+        """(ref: picture_encoder.cc:56-93)"""
+        max_tid = seg.get_max_tid(segment.max_sub_gop_length)
+        self.output_status = "ready"
+        self.buffer_flag = False
+        pd = self.pic_data
+        pd.doc = doc
+        pd.poc = poc
+        pd.tid = tid
+        pd.soc = segment.soc
+        pd.sub_gop_length = segment.max_sub_gop_length
+        pd.highest_layer = tid == max_tid and not segment.low_delay
+        pd.adaptive_qp = segment.adaptive_qp
+        pd.beta_offset = segment.beta_offset
+        pd.tc_offset = segment.tc_offset
+        dm = segment.deblocking_mode
+        if dm == k.DeblockingMode.DISABLED:
+            pd.deblock = False
+        elif dm in (k.DeblockingMode.ENABLED, k.DeblockingMode.CUSTOM):
+            pd.deblock = True
+        else:
+            pd.deblock = tid == 0
+        if is_access_picture:
+            pd.nal_type = k.NalUnitType.INTRA_ACCESS_PICTURE
+        elif segment.num_ref_pics == 0:
+            pd.nal_type = k.NalUnitType.INTRA_PICTURE
+        elif restrictions.disable_inter_bipred:
+            pd.nal_type = k.NalUnitType.PREDICTED_PICTURE
+        else:
+            pd.nal_type = k.NalUnitType.BIPREDICTED_PICTURE
+
+    def encode(self, segment, segment_qp, buffer_flag, settings):
+        """(ref: picture_encoder.cc:95-164). Returns NAL bytes."""
+        pd = self.pic_data
+        picture_type = pd.get_prediction_type()
+        sub_gop_length = segment.max_sub_gop_length
+        max_tid = seg.get_max_tid(sub_gop_length)
+        pic_tid = pd.tid
+        if settings.flat_lambda > 0:
+            sub_gop_length = min(sub_gop_length, settings.flat_lambda)
+            max_tid = seg.get_max_tid(sub_gop_length)
+            pic_tid = max_tid
+        pic_qp_val = derive_picture_qp(settings, segment_qp, picture_type,
+                                       pic_tid)
+        pic_lambda = calculate_lambda(settings, segment, pic_qp_val,
+                                      picture_type, sub_gop_length, pic_tid,
+                                      max_tid)
+        scaled_qp = get_qp_from_lambda(pd.bitdepth, pic_lambda)
+        base_qp = Qp(scaled_qp, pd.chroma_format, pd.bitdepth, pic_lambda,
+                     settings.chroma_qp_offset_table,
+                     settings.chroma_qp_offset_u, settings.chroma_qp_offset_v)
+        pd.init(segment, base_qp, settings.adaptive_qp > 0)
+        allow_lic = self._determine_allow_lic(pd, segment.restrictions)
+        pd.lic_active = allow_lic
+
+        bit_writer = BitWriter()
+        if settings.encapsulation_mode != 0:
+            bit_writer.write_bits(k.ENCAPSULATION_CODE, 8)
+            bit_writer.write_bits(1, 8)
+        self._write_header(segment, pd, buffer_flag, bit_writer)
+
+        writer = SyntaxWriter(base_qp, pd.get_prediction_type(), bit_writer,
+                              segment.restrictions)
+        cu_encoder = CuEncoder(self.orig_pic, self.rec_pic, pd, settings)
+        if not pd.is_intra_pic():
+            from .inter_me import InterSearch
+            cu_encoder.inter_search = InterSearch(cu_encoder)
+        for rsaddr in range(pd.get_number_of_ctus()):
+            cu_encoder.encode_ctu(rsaddr, writer)
+        if pd.deblock:
+            deblocker = DeblockingFilter(pd, self.rec_pic, pd.beta_offset,
+                                         pd.tc_offset, segment.restrictions)
+            deblocker.deblock_picture()
+        writer.finish()
+
+        if pd.tid == 0 or not pd.highest_layer:
+            self.rec_pic.pad_border()
+        pd.ref_pic_lists.zero_out_references()
+        if pd.tid == 0 or segment.checksum_mode == k.ChecksumMode.MAX_ROBUST:
+            self._write_checksum(segment, bit_writer, segment.checksum_mode)
+        else:
+            self.pic_hash = b""
+        self._calculate_stats(base_qp)
+        return bit_writer.get_bytes()
+
+    def _write_header(self, segment, pd, buffer_flag, bit_writer):
+        """(ref: picture_encoder.cc:173-197)"""
+        restr = segment.restrictions
+        bit_writer.write_bits(1, 1)   # xvc_bit_one
+        bit_writer.write_bits(0, 1)   # nal_rfe
+        bit_writer.write_bits(int(pd.nal_type), 5)
+        bit_writer.write_bits(1, 1)   # nal_rfl
+        bit_writer.write_bits(1 if buffer_flag else 0, 1)
+        bit_writer.write_bits(pd.tid, 3)
+        pic_qp = pd.pic_qp.get_qp_raw(0)
+        bit_writer.write_bits(pic_qp + k.QP_SIGNAL_BASE, 7)
+        if not restr.disable_ext2_inter_local_illumination_comp:
+            bit_writer.write_bit(1 if pd.lic_active else 0)
+        if segment.deblocking_mode == k.DeblockingMode.PER_PICTURE:
+            bit_writer.write_bit(1 if pd.deblock else 0)
+        bit_writer.pad_zero_bits()
+
+    def _write_checksum(self, segment, bit_writer, checksum_mode):
+        restr = segment.restrictions
+        method = k.ChecksumMethod.CRC \
+            if restr.disable_high_level_default_checksum_method \
+            else k.ChecksumMethod.MD5
+        self.pic_hash = cksum.hash_picture(self.rec_pic, method,
+                                           checksum_mode)
+        if segment.major_version <= 1:
+            bit_writer.write_byte(len(self.pic_hash))
+        bit_writer.write_bytes(self.pic_hash)
+
+    def _determine_allow_lic(self, pd, restrictions):
+        """(ref: picture_encoder.cc:230-281)"""
+        SAMPLE_THRESHOLD = 0.06
+        if pd.get_prediction_type() == k.PicturePredictionType.INTRA or \
+                restrictions.disable_ext2_inter_local_illumination_comp:
+            return False
+        orig = self.orig_pic.plane_view(0)
+        num_buckets = 1 << self.orig_pic.bitdepth
+        hist_orig = np.bincount(orig.ravel(), minlength=num_buckets)
+        num_lists = 2 if pd.get_prediction_type() == \
+            k.PicturePredictionType.BI else 1
+        h, w = orig.shape
+        for ref_list in range(num_lists):
+            for ref_idx in range(pd.ref_pic_lists.get_num_ref_pics(ref_list)):
+                entry = pd.ref_pic_lists.entries[ref_list][ref_idx]
+                ref_pic = entry.orig_pic
+                if ref_pic is None:
+                    continue
+                ref = ref_pic.plane_view(0)
+                hist_ref = np.bincount(ref.ravel(), minlength=num_buckets)
+                err_sum = int(np.abs(hist_orig - hist_ref).sum())
+                if err_sum > int(SAMPLE_THRESHOLD * w * h):
+                    return True
+        return False
+
+    def _calculate_stats(self, base_qp):
+        sse = 0
+        for c in range(self.pic_data.max_num_components):
+            rec = self.rec_pic.plane_view(c)
+            orig = self.orig_pic.plane_view(c)
+            diff = rec.astype(np.int64) - orig.astype(np.int64)
+            # reference forces 8-bit metric precision for sse
+            shift = 2 * (self.pic_data.bitdepth - 8)
+            sse += int((diff * diff).sum()) >> shift
+            self.rec_psnr[c] = met.compute_picture_psnr(rec, orig)
+        self.rec_sse = sse
+
+
+def derive_picture_qp(settings, segment_qp, pic_type, tid):
+    """(ref: picture_encoder.cc:216-228)"""
+    if pic_type == k.PicturePredictionType.INTRA:
+        pic_qp = segment_qp + settings.intra_qp_offset
+    else:
+        pic_qp = segment_qp + tid + 1
+    return min(max(pic_qp, k.MIN_ALLOWED_QP), k.MAX_ALLOWED_QP)
+
+
+def get_qp_from_lambda(bitdepth, lambda_val):
+    qp = int(math.floor(3.0 * math.log(lambda_val / 0.57) / math.log(2.0)
+                        + 0.5))
+    return min(max(12 + qp, k.MIN_ALLOWED_QP), k.MAX_ALLOWED_QP)
+
+
+def calculate_lambda(settings, segment_header, qp, pic_type, sub_gop_length,
+                     temporal_id, max_temporal_id):
+    """(ref: picture_encoder.cc:312-354)"""
+    qp_temp = qp - 12
+    lambda_val = 2.0 ** (qp_temp / 3.0)
+    scale_factor = settings.lambda_scale_a * \
+        2.0 ** (settings.lambda_scale_b * qp_temp)
+    pic_type_factor = 0.57 if pic_type == k.PicturePredictionType.INTRA \
+        else 0.68
+    subgop_factor = 1.0 - min(max(0.05 * (sub_gop_length - 1), 0.0), 0.5)
+    hierarchical_factor = 1.0
+    if temporal_id > 0 and temporal_id == max_temporal_id and \
+            not segment_header.low_delay:
+        subgop_factor = 1.0
+        hierarchical_factor = min(max(qp_temp / 6.0, 2.0), 4.0)
+    elif temporal_id > 0:
+        hierarchical_factor = min(max(qp_temp / 6.0, 2.0), 4.0)
+        hierarchical_factor *= 0.8
+    if sub_gop_length == 16 and \
+            pic_type != k.PicturePredictionType.INTRA and \
+            not segment_header.low_delay:
+        if settings.smooth_lambda_scaling == 0:
+            temporal_factor = (0.6, 0.2, 0.33, 0.33, 0.4)
+            hierarchical_factor = 1.0 if temporal_id == 0 else \
+                min(max(qp_temp / 6.0, 2.0), 4.0)
+            return temporal_factor[temporal_id] * hierarchical_factor * \
+                lambda_val
+        temporal_factor = (0.14, 0.2, 0.33, 0.33, 0.4)
+        hierarchical_factor = min(max(qp_temp / 6.0, 2.0), 4.0)
+        return temporal_factor[temporal_id] * hierarchical_factor * lambda_val
+    return lambda_val * scale_factor * pic_type_factor * subgop_factor * \
+        hierarchical_factor
