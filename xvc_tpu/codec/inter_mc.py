@@ -231,6 +231,26 @@ def add_avg_bi(l0, l1, bitdepth):
     return np.clip(out, 0, max_val).astype(np.int32)
 
 
+def motion_compensation_mv(predictor, cu, comp, ref_pic, mv, post_filter):
+    """MC for an explicit (non-stored) MV (ref: MotionCompensationMv)."""
+    mv = mv_mod.clip_mv(cu, ref_pic, mv)
+    pel_x, pel_y, frac_x, frac_y = get_fullpel_ref(cu, comp, ref_pic,
+                                                   mv[0], mv[1],
+                                                   predictor.restr)
+    ctx = _make_ctx(predictor, cu, comp, ref_pic)
+    cx, cy = cu.pos(comp)
+    pred = mc_unipred_sample(ctx, cx + pel_x, cy + pel_y, frac_x, frac_y)
+    if post_filter and cu.use_lic:
+        pred = local_illumination_comp(predictor, cu, comp, mv[0], mv[1],
+                                       ref_pic, pred)
+    return pred
+
+
+def motion_compensation_mv3(predictor, cu, comp, ref_pic, mv3, post_filter):
+    ctx = _make_ctx(predictor, cu, comp, ref_pic)
+    return _mc_affine(predictor, cu, ctx, list(mv3), False)
+
+
 def motion_compensation(predictor, cu, comp):
     """(ref: inter_prediction.cc:710-738)"""
     restr = predictor.restr
