@@ -59,6 +59,7 @@ class CuEncoder(TransformEncoder):
         self.cu_cache = CuCache(pic_data)
         self.inter_search = None  # set externally for inter pictures
         self.last_ctu_frac_bits = 0
+        self._aqp_flat = None
 
     # expose intra prediction for intra search
     def predict_intra_mode(self, cu, comp, mode, rec_pic):
@@ -330,7 +331,14 @@ class CuEncoder(TransformEncoder):
                     tmp.qp = qp
 
     def calc_delta_qp_from_variance(self, cu):
-        """(ref: cu_encoder.cc:308-363)"""
+        """(ref: cu_encoder.cc:308-363)
+
+        The reference reads full 16x16 variance windows from the UNPADDED
+        orig picture whose Y/U/V planes live in one contiguous buffer, so
+        windows at the bottom picture boundary run past the luma plane
+        into the chroma planes.  Emulated here with a flat concatenated
+        buffer for byte-exact parity.
+        """
         strength = self.settings.aqp_strength / 10.0
         OFFSET = 15
         VAR_BLOCKSIZE = 16
@@ -339,20 +347,26 @@ class CuEncoder(TransformEncoder):
         x, y = cu.pos_x, cu.pos_y
         h = cu.height // VAR_BLOCKSIZE
         w = cu.height // VAR_BLOCKSIZE  # (sic: reference uses height twice)
-        variances = [(1 << 63)] * (h * w)
+        if self._aqp_flat is None:
+            ncomp = self.pic.max_num_components
+            self._aqp_flat = np.concatenate(
+                [self.orig_pic.plane_view(c).astype(np.int64).ravel()
+                 for c in range(ncomp)])
+        flat = self._aqp_flat
+        stride = self.orig_pic.plane_view(luma).shape[1]
+        variances = [(1 << 64) - 1] * (h * w)
         blocks = 0
-        plane = self.orig_pic.plane_view(luma)
         for i in range(h):
             if y + i * VAR_BLOCKSIZE >= self.pic.height:
                 continue
             for j in range(w):
                 if x + j * VAR_BLOCKSIZE >= self.pic.width:
                     continue
-                blk = plane[y + i * VAR_BLOCKSIZE:
-                            y + (i + 1) * VAR_BLOCKSIZE,
-                            x + j * VAR_BLOCKSIZE:
-                            x + (j + 1) * VAR_BLOCKSIZE].astype(np.int64)
-                num = blk.size
+                base = (y + i * VAR_BLOCKSIZE) * stride + x + j * VAR_BLOCKSIZE
+                idx = base + (np.arange(VAR_BLOCKSIZE)[:, None] * stride +
+                              np.arange(VAR_BLOCKSIZE)[None, :])
+                blk = flat[np.minimum(idx.ravel(), len(flat) - 1)]
+                num = VAR_BLOCKSIZE * VAR_BLOCKSIZE
                 ssum = int(blk.sum())
                 squares = int((blk * blk).sum())
                 variances[blocks] = \

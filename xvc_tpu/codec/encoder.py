@@ -412,9 +412,10 @@ class Encoder:
 
 
 def encode_stream(yuv_bytes, width, height, frames, qp=32, bitdepth=8,
-                  settings=None, sub_gop_length=16, num_ref_pics=None,
+                  settings=None, sub_gop_length=0, num_ref_pics=None,
                   chroma_format=k.ChromaFormat.YUV420, checksum_mode=0,
-                  low_delay=False, speed_mode=1, tune=0):
+                  low_delay=False, speed_mode=1, tune=0,
+                  max_keypic_distance=640, closed_gop=0):
     """Convenience one-shot encoder; returns list of NAL byte strings."""
     from ..nal import write_nal_units
     from .encoder_settings import EncoderSettings
@@ -434,9 +435,23 @@ def encode_stream(yuv_bytes, width, height, frames, qp=32, bitdepth=8,
     enc.set_low_delay(low_delay)
     enc.input_bitdepth = bitdepth
     enc.set_encoder_settings(settings)
-    enc.set_sub_gop_length(sub_gop_length)
     if num_ref_pics is not None:
         enc.set_num_ref_pics(num_ref_pics)
+    # sub_gop_length 0 = auto (ref: xvc_enc_lib/xvcenc.cc:346-351)
+    if sub_gop_length == 0:
+        sub_gop_length = 16 if enc.segment_header.num_ref_pics > 0 else 1
+    enc.set_sub_gop_length(sub_gop_length)
+    # segment / closed-gop length (ref: xvc_enc_lib/xvcenc.cc:269-290)
+    if max_keypic_distance == 0:
+        seg_len = ((1 << 62) // sub_gop_length) * sub_gop_length
+    else:
+        seg_len = (max_keypic_distance // sub_gop_length) * sub_gop_length
+    enc.set_segment_length(seg_len)
+    if closed_gop > 0:
+        enc.set_closed_gop_interval(seg_len * closed_gop)
+    else:
+        enc.set_closed_gop_interval(
+            ((1 << 62) // sub_gop_length) * sub_gop_length)
     frame_size = width * height * 3 // 2 * (1 if bitdepth <= 8 else 2)
     if chroma_format == k.ChromaFormat.YUV444:
         frame_size = width * height * 3 * (1 if bitdepth <= 8 else 2)
