@@ -1,8 +1,10 @@
 import os
 
-# Force JAX onto a virtual 8-device CPU mesh so sharding tests run anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = \
-        (flags + " --xla_force_host_platform_device_count=8").strip()
+# Force JAX onto a virtual 8-device CPU mesh so sharding tests run anywhere
+# (the session environment may preset JAX_PLATFORMS to a TPU backend that
+# ignores the env-var override, so use jax.config directly).
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,52 @@
+"""Sharded == unsharded invariant on a virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from xvc_tpu.parallel.mesh import (make_mesh, make_sharded_analysis_step,
+                                   padded_weights)
+from xvc_tpu.tpu import analysis as an
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_equals_unsharded():
+    n, bitdepth = 8, 8
+    rng = np.random.RandomState(11)
+    frame = rng.randint(0, 256, size=(64, 64)).astype(np.int32)
+    orig, top, left = an.extract_blocks(frame, n, bitdepth)
+    weights = jnp.asarray(padded_weights(n))
+
+    mesh8 = make_mesh(jax.devices()[:8])
+    mesh1 = make_mesh(jax.devices()[:1])
+    step8 = make_sharded_analysis_step(mesh8, n, bitdepth)
+    step1 = make_sharded_analysis_step(mesh1, n, bitdepth)
+    o8 = jax.device_get(step8(jnp.asarray(orig), jnp.asarray(top),
+                              jnp.asarray(left), weights))
+    o1 = jax.device_get(step1(jnp.asarray(orig), jnp.asarray(top),
+                              jnp.asarray(left), weights))
+    for key in ("best_mode", "satd", "ssd", "levels"):
+        assert np.array_equal(o8[key], o1[key]), key
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dryrun_multichip():
+    import importlib.util
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    spec = importlib.util.spec_from_file_location("graft_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import importlib.util
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    spec = importlib.util.spec_from_file_location("graft_entry2", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.block_until_ready(fn(*args))
+    assert out.shape == (args[0].shape[0], 67)

@@ -90,10 +90,10 @@ def _angular_weights(n, mode):
         frac = angle_sum & 31
         for x in range(n):
             p = (x * n + y) if is_hor else (y * n + x)
-            for tap, wgt in ((ref_line[ref_off + off + x], 32 - frac),
-                             (ref_line[ref_off + off + x + 1], frac)):
-                if wgt:
-                    plane, idx = tap
+            for pos, wgt in ((ref_off + off + x, 32 - frac),
+                             (ref_off + off + x + 1, frac)):
+                if wgt:  # frac==0 taps are never read (weight 0)
+                    plane, idx = ref_line[pos]
                     w[p, idx if plane == 0 else 2 * n + 1 + idx] += wgt
     return w
 
@@ -174,8 +174,11 @@ def predict_all_modes(orig_dtype_n, top, left, weights, bitdepth,
     ftop, fleft = filter_refs(top, left)
     ref2 = jnp.concatenate([top, left, ftop, fleft],
                            axis=1).astype(jnp.float32)
+    # HIGHEST precision (3-pass bf16) is exact here: weights are <= 6 bits
+    # and reference samples <= 16 bits, both split exactly into bf16 hi/lo
     num = jnp.einsum("br,mpr->bmp", ref2, weights,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     ang = jnp.floor((num + 16.0) * (1.0 / 32.0)).astype(jnp.int32)
     ang = ang.reshape(b, NUM_MODES_EXT - 2, n, n)
 
