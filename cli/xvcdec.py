@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""xvcdec-compatible decoder app.
+
+Accepts the reference decoder app's arguments
+(ref: app/xvc_dec_app/decoder_app.cc).
+"""
+import argparse
+import struct
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from xvc_tpu.api import DecoderParameters, DecoderSession  # noqa: E402
+
+
+def make_parser():
+    p = argparse.ArgumentParser(prog="xvcdec", add_help=False)
+    a = p.add_argument
+    a("-h", action="help")
+    a("-bitstream-file", required=True)
+    a("-output-file", default=None)
+    a("-output-width", type=int, default=0)
+    a("-output-height", type=int, default=0)
+    a("-output-chroma-format", type=int, default=-1)
+    a("-output-color-matrix", type=int, default=0)
+    a("-output-bitdepth", type=int, default=0)
+    a("-max-framerate", type=float, default=0)
+    a("-threads", type=int, default=0)
+    a("-simd-mask", type=int, default=None)
+    a("-dither", type=int, default=0)
+    a("-loop", type=int, default=1)
+    a("-verbose", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = vars(make_parser().parse_args(argv))
+    g = lambda name: args[name.replace("-", "_")]  # noqa: E731
+    params = DecoderParameters(
+        output_width=g("output-width"), output_height=g("output-height"),
+        output_chroma_format=g("output-chroma-format"),
+        output_color_matrix=g("output-color-matrix"),
+        output_bitdepth=g("output-bitdepth"),
+        max_framerate=g("max-framerate"), dither=g("dither"))
+    session = DecoderSession(params)
+
+    data = sys.stdin.buffer.read() if g("bitstream-file") == "-" \
+        else open(g("bitstream-file"), "rb").read()
+    out = None
+    if g("output-file"):
+        out = sys.stdout.buffer if g("output-file") == "-" \
+            else open(g("output-file"), "wb")
+    start = time.time()
+    pos = 0
+    num_pics = 0
+    while pos + 4 <= len(data):
+        (size,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        nal = data[pos:pos + size]
+        pos += size
+        session.decode_nal(nal)
+        pic = session.get_picture()
+        if pic is not None:
+            num_pics += 1
+            if out:
+                out.write(pic.bytes)
+    session.flush()
+    while True:
+        pic = session.get_picture()
+        if pic is None:
+            break
+        num_pics += 1
+        if out:
+            out.write(pic.bytes)
+    if out and out is not sys.stdout.buffer:
+        out.close()
+    dt = time.time() - start
+    print(f"Decoded:    {num_pics} pictures", file=sys.stderr)
+    print(f"Total time: {dt:.2f} s", file=sys.stderr)
+    if session.num_corrupted_pics:
+        print(f"Corrupted:  {session.num_corrupted_pics}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,184 @@
+"""Public codec API mirroring the reference C API surface.
+
+Behavioral equivalent of xvc_enc_api / xvc_dec_api
+(ref: src/xvc_enc_lib/xvcenc.cc, src/xvc_dec_lib/xvcdec.cc): parameter
+structs with get-default / check semantics, session creation, per-picture
+encode returning NAL units, and a pull-based decoder with picture
+reordering — expressed as idiomatic Python instead of C handles.
+"""
+from dataclasses import dataclass, field
+
+from . import constants as k
+from .codec.decoder import Decoder
+from .codec.encoder import Encoder
+from .codec.encoder_settings import EncoderSettings
+
+OK = 0
+ERR_INVALID_ARGUMENT = 10
+ERR_SIZE_TOO_SMALL = 11
+ERR_SIZE_TOO_LARGE = 12
+ERR_BITDEPTH_OUT_OF_RANGE = 13
+ERR_INVALID_PARAM = 16
+ERR_BITSTREAM_VERSION_LOWER_THAN_SUPPORTED_BY_DECODER = 22
+ERR_BITSTREAM_BITDEPTH_TOO_HIGH = 23
+ERR_BITSTREAM_CORRUPTED = 24
+
+DEFAULT_SUB_GOP_LENGTH = 16
+
+
+@dataclass
+class EncoderParameters:
+    """(ref: xvcenc.h xvc_encoder_parameters / xvcenc.cc:40-100)"""
+    width: int = 0
+    height: int = 0
+    chroma_format: int = k.ChromaFormat.YUV420
+    color_matrix: int = 0
+    input_bitdepth: int = 8
+    internal_bitdepth: int = 8
+    framerate: float = 60
+    sub_gop_length: int = 0        # 0 = auto
+    max_keypic_distance: int = 640
+    closed_gop: int = 0
+    low_delay: int = 0
+    num_ref_pics: int = -1         # -1 = from speed preset
+    restricted_mode: int = 0
+    chroma_qp_offset_table: int = 0
+    chroma_qp_offset_u: int = 0
+    chroma_qp_offset_v: int = 0
+    deblock: int = 1
+    beta_offset: int = 0
+    tc_offset: int = 0
+    qp: int = 32
+    flat_lambda: int = 0
+    speed_mode: int = -1           # -1 = default (slow)
+    tune_mode: int = 0
+    checksum_mode: int = 0
+    leading_pictures: int = 0
+    explicit_encoder_settings: str = ""
+
+
+def encoder_parameters_check(p: EncoderParameters) -> int:
+    """(ref: xvcenc.cc xvc_enc_parameters_check)"""
+    if p.width < 2 or p.height < 2:
+        return ERR_SIZE_TOO_SMALL
+    if p.width > 65535 or p.height > 65535:
+        return ERR_SIZE_TOO_LARGE
+    if p.internal_bitdepth < 8 or p.internal_bitdepth > 14 or \
+            p.input_bitdepth < 8 or p.input_bitdepth > 16:
+        return ERR_BITDEPTH_OUT_OF_RANGE
+    if p.qp < k.MIN_ALLOWED_QP or p.qp > k.MAX_ALLOWED_QP:
+        return ERR_INVALID_PARAM
+    if p.sub_gop_length > 64:
+        return ERR_INVALID_PARAM
+    return OK
+
+
+class EncoderSession:
+    """Encoder handle (ref: xvcenc.cc xvc_enc_encoder_create)."""
+
+    def __init__(self, params: EncoderParameters):
+        rc = encoder_parameters_check(params)
+        if rc != OK:
+            raise ValueError(f"invalid encoder parameters (code {rc})")
+        self.params = params
+        enc = Encoder(params.internal_bitdepth)
+        settings = EncoderSettings()
+        settings.initialize_speed(
+            1 if params.speed_mode < 0 else params.speed_mode)
+        if params.tune_mode:
+            settings.tune(params.tune_mode)
+        if params.explicit_encoder_settings:
+            settings.parse_explicit_settings(
+                params.explicit_encoder_settings)
+        if params.num_ref_pics >= 0:
+            settings.default_num_ref_pics = params.num_ref_pics
+        enc.set_resolution(params.width, params.height)
+        enc.set_chroma_format(params.chroma_format)
+        enc.set_color_matrix(params.color_matrix)
+        enc.set_deblock(params.deblock)
+        if params.deblock == 3:
+            enc.set_beta_offset(params.beta_offset)
+            enc.set_tc_offset(params.tc_offset)
+        enc.set_checksum_mode(params.checksum_mode)
+        enc.set_qp(params.qp)
+        enc.set_low_delay(params.low_delay != 0)
+        enc.set_chroma_qp_offsets(params.chroma_qp_offset_table,
+                                  params.chroma_qp_offset_u,
+                                  params.chroma_qp_offset_v)
+        enc.input_bitdepth = params.input_bitdepth
+        enc.framerate = params.framerate
+        enc.set_encoder_settings(settings)
+        sub_gop = params.sub_gop_length
+        if sub_gop == 0:
+            sub_gop = DEFAULT_SUB_GOP_LENGTH \
+                if enc.segment_header.num_ref_pics > 0 else 1
+        enc.set_sub_gop_length(sub_gop)
+        if params.max_keypic_distance == 0:
+            seg_len = ((1 << 62) // sub_gop) * sub_gop
+        else:
+            seg_len = (params.max_keypic_distance // sub_gop) * sub_gop
+        enc.set_segment_length(seg_len)
+        if params.closed_gop > 0:
+            enc.set_closed_gop_interval(seg_len * params.closed_gop)
+        else:
+            enc.set_closed_gop_interval(((1 << 62) // sub_gop) * sub_gop)
+        self._enc = enc
+
+    def encode(self, picture_bytes: bytes):
+        """Encode one picture; returns list of NAL byte strings."""
+        return [n.bytes for n in self._enc.encode(picture_bytes)]
+
+    def flush(self):
+        """Flush all pending pictures; returns list of NAL byte strings."""
+        return [n.bytes for n in self._enc.flush_all()]
+
+
+@dataclass
+class DecoderParameters:
+    """(ref: xvcdec.h xvc_decoder_parameters)"""
+    output_width: int = 0
+    output_height: int = 0
+    output_chroma_format: int = k.ChromaFormat.UNDEFINED
+    output_color_matrix: int = 0
+    output_bitdepth: int = 0
+    max_framerate: float = 0
+    dither: int = 0
+
+
+class DecoderSession:
+    """Decoder handle (ref: xvcdec.cc xvc_dec_decoder_create)."""
+
+    def __init__(self, params: DecoderParameters = None):
+        self.params = params or DecoderParameters()
+        self._dec = Decoder()
+        self._dec.output_width = self.params.output_width
+        self._dec.output_height = self.params.output_height
+        self._dec.output_bitdepth = self.params.output_bitdepth
+        self._dec.output_chroma_format = self.params.output_chroma_format
+        self._dec.dither = self.params.dither != 0
+        self._pending = []
+
+    def decode_nal(self, nal_bytes: bytes, user_data: int = 0):
+        self._dec.decode_nal(nal_bytes, user_data)
+        pic = self._dec.get_decoded_picture()
+        if pic is not None:
+            self._pending.append(pic)
+
+    def get_picture(self):
+        """Returns the next decoded picture (OutputPicture) or None."""
+        if self._pending:
+            return self._pending.pop(0)
+        pic = self._dec.get_decoded_picture()
+        return pic
+
+    def flush(self):
+        self._dec.flush()
+        while True:
+            pic = self._dec.get_decoded_picture()
+            if pic is None:
+                return
+            self._pending.append(pic)
+
+    @property
+    def num_corrupted_pics(self):
+        return getattr(self._dec, "num_corrupted_pics", 0)

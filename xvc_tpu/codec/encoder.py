@@ -91,6 +91,20 @@ class Encoder:
     def set_framerate(self, framerate):
         self.framerate = framerate
 
+    def set_color_matrix(self, color_matrix):
+        self.segment_header.color_matrix = color_matrix
+
+    def set_beta_offset(self, offset):
+        self.segment_header.beta_offset = offset
+
+    def set_tc_offset(self, offset):
+        self.segment_header.tc_offset = offset
+
+    def set_chroma_qp_offsets(self, table, offset_u, offset_v):
+        self.segment_header.chroma_qp_offset_table = table
+        self.segment_header.chroma_qp_offset_u = offset_u
+        self.segment_header.chroma_qp_offset_v = offset_v
+
     def set_encoder_settings(self, settings):
         """(ref: encoder.cc:202-230)"""
         assert self.poc == 0

@@ -111,3 +111,20 @@ class EncoderSettings:
             self.structural_ssd = 0
             self.source_padding = 1
             self.chroma_qp_offset_table = 0
+
+    def parse_explicit_settings(self, explicit_settings: str):
+        """Space-separated name/value overrides
+        (ref: encoder_settings.cc:140-214)."""
+        tokens = explicit_settings.split()
+        if len(tokens) % 2:
+            raise ValueError("explicit settings must be name value pairs")
+        for name, value in zip(tokens[::2], tokens[1::2]):
+            if not hasattr(self, name):
+                raise ValueError(f"unknown explicit setting: {name}")
+            current = getattr(self, name)
+            if isinstance(current, bool):
+                setattr(self, name, bool(int(value)))
+            elif isinstance(current, float):
+                setattr(self, name, float(value))
+            else:
+                setattr(self, name, int(value))
