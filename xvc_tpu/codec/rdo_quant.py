@@ -7,6 +7,7 @@ costs come from the shared CABAC entropy-bits table.
 import numpy as np
 
 from .. import constants as k
+from .. import native as _native
 from .. import scan as scan_mod
 from ..cabac import context_model as cm
 from ..ops import quant as q
@@ -161,12 +162,48 @@ class RdoQuant:
     def quant_rdo(self, cu, comp, qp, pic_type, writer, src, out):
         w, h = cu.size(comp)
         if w == 2 or h == 2:
-            if self.settings.rdo_quant_2x2:
-                return self._quant_rdo(cu, comp, qp, pic_type, writer, src,
-                                       out, 1)
-            return self.quant_fast(cu, comp, qp, pic_type, src, out)
+            if not self.settings.rdo_quant_2x2:
+                return self.quant_fast(cu, comp, qp, pic_type, src, out)
+            subblock_shift = 1
+        else:
+            subblock_shift = k.SUBBLOCK_SHIFT
+        if _native.available():
+            return self._quant_rdo_native(cu, comp, qp, writer, src, out,
+                                          subblock_shift)
         return self._quant_rdo(cu, comp, qp, pic_type, writer, src, out,
-                               k.SUBBLOCK_SHIFT)
+                               subblock_shift)
+
+    def _quant_rdo_native(self, cu, comp, qp, writer, src, out,
+                          subblock_shift):
+        from ..cabac.contexts import OFFSETS
+        from ..native.engines import quant_rdo_native
+        restr = cu.pic.restrictions
+        height, width = src.shape
+        is_luma = comp == 0
+        intra_mode = cu.get_intra_mode(comp) if cu.is_intra() else 0
+        scan_order = scan_mod.determine_scan_order(cu, is_luma, intra_mode,
+                                                   restr)
+        if not is_luma:
+            cbf_idx = OFFSETS["cu_cbf_chroma"]
+        elif cu.is_intra():
+            cbf_idx = OFFSETS["cu_cbf_luma"]
+        else:
+            cbf_idx = OFFSETS["cu_root_cbf"]
+        lam = qp.get_lambda_scaled(comp)
+        lambda_fp = int(lam * (1 << LAMBDA_PRECISION) + 0.5)
+        inv_scale = qp.get_inv_scale(comp)
+        subblock_size = 1 << (2 * subblock_shift)
+        rd_factor = int(float(inv_scale) * float(inv_scale) / lam /
+                        subblock_size / (1 << (2 * (self.bitdepth - 8))) +
+                        0.5) if lam > 0 else 0
+        if src.dtype != np.int32 or not src.flags["C_CONTIGUOUS"]:
+            src = np.ascontiguousarray(src, dtype=np.int32)
+        assert out.dtype == np.int32 and out.flags["C_CONTIGUOUS"]
+        return quant_rdo_native(
+            writer.ctx.state, _native.restr_bits(restr), width, height,
+            subblock_shift, is_luma, scan_order, self.bitdepth,
+            qp.get_qp_per(comp), qp.get_fwd_scale(comp), inv_scale,
+            lambda_fp, cbf_idx, rd_factor, src, out)
 
     def _quant_rdo(self, cu, comp, qp, pic_type, writer, src, out,
                    subblock_shift):

@@ -1,0 +1,162 @@
+"""Native host runtime: build + ctypes bindings for xvcn.cpp.
+
+The C++ library implements the sequential entropy-coding tail (CABAC
+engines, residual coefficient read/write, RDO quantization) as an exact
+mirror of the Python reference implementation.  It is compiled lazily
+with g++ on first import and cached next to the source; if compilation
+fails the framework transparently falls back to the Python path.
+
+Set XVC_NATIVE=0 to force the Python path (used by the native-vs-python
+bit-exactness tests, the analog of the reference's SIMD determinism
+contract in test/xvc_test/simd_test.cc).
+"""
+import ctypes
+import hashlib
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "xvcn.cpp")
+
+# Restriction-flag bit order; must match enum RestrBit in xvcn.cpp.
+RESTR_FLAG_ORDER = [
+    "disable_ext2_cabac_alt_residual_ctx",
+    "disable_cabac_coeff_sig_ctx",
+    "disable_cabac_coeff_greater1_ctx",
+    "disable_cabac_coeff_greater2_ctx",
+    "disable_cabac_coeff_last_pos_ctx",
+    "disable_cabac_subblock_csbf_ctx",
+    "disable_ext_cabac_alt_last_pos_ctx",
+    "disable_transform_cbf",
+    "disable_transform_subblock_csbf",
+    "disable_transform_last_position",
+    "disable_transform_residual_greater_than_flags",
+    "disable_transform_residual_greater2",
+    "disable_transform_sign_hiding",
+    "disable_transform_adaptive_exp_golomb",
+]
+
+# Context family order; must match enum FamIdx in xvcn.cpp.
+FAMILY_ORDER = [
+    "coeff_csbf_luma", "coeff_csbf_chroma",
+    "coeff_sig_luma", "coeff_sig_chroma",
+    "coeff_greater1_luma", "coeff_greater1_chroma",
+    "coeff_greater2_luma", "coeff_greater2_chroma",
+    "coeff_ext_csbf_luma", "coeff_ext_csbf_chroma",
+    "coeff_ext_sig_luma", "coeff_ext_sig_chroma",
+    "coeff_ext_greater1_luma", "coeff_ext_greater1_chroma",
+    "coeff_last_pos_x_luma", "coeff_last_pos_x_chroma",
+    "coeff_last_pos_y_luma", "coeff_last_pos_y_chroma",
+]
+
+
+def restr_bits(restr) -> int:
+    bits = getattr(restr, "_xvcn_mask", None)
+    if bits is None:
+        bits = 0
+        for i, name in enumerate(RESTR_FLAG_ORDER):
+            if getattr(restr, name):
+                bits |= 1 << i
+        try:
+            restr._xvcn_mask = bits
+        except AttributeError:
+            pass
+    return bits
+
+
+def family_offsets() -> np.ndarray:
+    from ..cabac.contexts import OFFSETS
+    return np.array([OFFSETS[f] for f in FAMILY_ORDER], dtype=np.int32)
+
+
+def _build() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    so_path = os.path.join(_DIR, f"_xvcn_{digest}.so")
+    if os.path.exists(so_path):
+        return so_path
+    tmp = so_path + f".tmp{os.getpid()}"
+    cmd = ["g++", "-std=c++14", "-O2", "-fPIC", "-shared",
+           "-fvisibility=hidden", _SRC, "-o", tmp]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, so_path)
+    return so_path
+
+
+def _bind(lib):
+    c = ctypes
+    u8p = c.POINTER(c.c_uint8)
+    i32p = c.POINTER(c.c_int32)
+    # decoder
+    lib.xvcn_dec_create.restype = c.c_void_p
+    lib.xvcn_dec_create.argtypes = [c.c_char_p, c.c_int64, c.c_int64, c.c_int]
+    lib.xvcn_dec_destroy.argtypes = [c.c_void_p]
+    lib.xvcn_dec_get_pos.restype = c.c_int64
+    lib.xvcn_dec_get_pos.argtypes = [c.c_void_p]
+    lib.xvcn_dec_get_error.restype = c.c_int
+    lib.xvcn_dec_get_error.argtypes = [c.c_void_p]
+    lib.xvcn_dec_decode_bin.restype = c.c_int
+    lib.xvcn_dec_decode_bin.argtypes = [c.c_void_p, u8p, c.c_int]
+    lib.xvcn_dec_decode_bypass.restype = c.c_int
+    lib.xvcn_dec_decode_bypass.argtypes = [c.c_void_p]
+    lib.xvcn_dec_decode_bypass_bins.restype = c.c_uint32
+    lib.xvcn_dec_decode_bypass_bins.argtypes = [c.c_void_p, c.c_int]
+    lib.xvcn_dec_decode_bin_trm.restype = c.c_int
+    lib.xvcn_dec_decode_bin_trm.argtypes = [c.c_void_p]
+    lib.xvcn_dec_finish.argtypes = [c.c_void_p]
+    lib.xvcn_read_coefficients.restype = c.c_int
+    lib.xvcn_read_coefficients.argtypes = [
+        c.c_void_p, u8p, i32p, c.c_uint64, c.c_int, c.c_int, c.c_int,
+        c.c_int, c.c_int, i32p, c.c_int]
+    # encoder
+    lib.xvcn_enc_create.restype = c.c_void_p
+    lib.xvcn_enc_create.argtypes = [c.c_int, c.c_int, c.c_int64]
+    lib.xvcn_enc_destroy.argtypes = [c.c_void_p]
+    lib.xvcn_enc_get_frac_bits.restype = c.c_uint64
+    lib.xvcn_enc_get_frac_bits.argtypes = [c.c_void_p]
+    lib.xvcn_enc_set_frac_bits.argtypes = [c.c_void_p, c.c_uint64]
+    lib.xvcn_enc_get_error.restype = c.c_int
+    lib.xvcn_enc_get_error.argtypes = [c.c_void_p]
+    lib.xvcn_enc_get_out_len.restype = c.c_int64
+    lib.xvcn_enc_get_out_len.argtypes = [c.c_void_p]
+    lib.xvcn_enc_copy_out.argtypes = [c.c_void_p, u8p]
+    lib.xvcn_enc_encode_bin.argtypes = [c.c_void_p, u8p, c.c_int, c.c_int]
+    lib.xvcn_enc_encode_bypass.argtypes = [c.c_void_p, c.c_int]
+    lib.xvcn_enc_encode_bypass_bins.argtypes = [c.c_void_p, c.c_uint32,
+                                                c.c_int]
+    lib.xvcn_enc_encode_bin_trm.argtypes = [c.c_void_p, c.c_int]
+    lib.xvcn_enc_finish.argtypes = [c.c_void_p]
+    lib.xvcn_write_coefficients.restype = c.c_int
+    lib.xvcn_write_coefficients.argtypes = [
+        c.c_void_p, u8p, i32p, c.c_uint64, c.c_int, c.c_int, c.c_int,
+        c.c_int, c.c_int, i32p, c.c_int]
+    # rdo quant
+    lib.xvcn_quant_rdo.restype = c.c_int
+    lib.xvcn_quant_rdo.argtypes = [
+        u8p, i32p, c.c_uint64, c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
+        c.c_int, c.c_int, c.c_int, c.c_int64, c.c_int64, c.c_int, c.c_int64,
+        i32p, i32p, c.c_int]
+    lib.xvcn_version.restype = c.c_int
+    return lib
+
+
+LIB = None
+if os.environ.get("XVC_NATIVE", "1") != "0":
+    try:
+        LIB = _bind(ctypes.CDLL(_build()))
+    except Exception:  # noqa: BLE001 - fall back to the Python path
+        LIB = None
+
+
+def available() -> bool:
+    return LIB is not None
+
+
+def ctx_ptr(state: np.ndarray):
+    return state.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def i32_ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))

@@ -1,0 +1,1874 @@
+// xvcn: native host runtime for the sequential entropy-coding tail.
+//
+// Exact behavioral mirror of the Python reference implementation in
+// xvc_tpu/cabac and xvc_tpu/syntax (which is itself bit-exact against
+// reference xvc streams; ref: src/xvc_common_lib/context_model.cc,
+// src/xvc_dec_lib/entropy_decoder.cc, src/xvc_enc_lib/entropy_encoder.cc,
+// src/xvc_dec_lib/syntax_reader.cc, src/xvc_enc_lib/syntax_writer.cc,
+// src/xvc_enc_lib/rdo_quant.cc).  CABAC is inherently sequential, so it
+// runs on the host in C++ while the DSP runs as batched XLA/TPU programs;
+// this file is the performance path, the Python twin is the validation
+// path (native-on vs native-off must be bit-exact, like the reference's
+// SIMD contract in test/xvc_test/simd_test.cc).
+//
+// Context-state arrays are owned by Python (numpy uint8); all functions
+// take raw pointers per call so RDO snapshot/restore stays a numpy copy.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+#define XVCN_API extern "C" __attribute__((visibility("default")))
+
+static const int kFracBitsPrecision = 15;
+static const int kEntropyBypassBits = 1 << kFracBitsPrecision;
+
+// ---- normative tables (context_model.py) ----
+
+static const uint8_t kNextStateMps[128] = {
+    2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
+    18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33,
+    34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49,
+    50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61, 62, 63, 64, 65,
+    66, 67, 68, 69, 70, 71, 72, 73, 74, 75, 76, 77, 78, 79, 80, 81,
+    82, 83, 84, 85, 86, 87, 88, 89, 90, 91, 92, 93, 94, 95, 96, 97,
+    98, 99, 100, 101, 102, 103, 104, 105, 106, 107, 108, 109, 110, 111,
+    112, 113, 114, 115, 116, 117, 118, 119, 120, 121, 122, 123,
+    124, 125, 124, 125, 126, 127};
+
+static const uint8_t kNextStateLps[128] = {
+    1, 0, 0, 1, 2, 3, 4, 5, 4, 5, 8, 9, 8, 9, 10, 11,
+    12, 13, 14, 15, 16, 17, 18, 19, 18, 19, 22, 23, 22, 23, 24, 25,
+    26, 27, 26, 27, 30, 31, 30, 31, 32, 33, 32, 33, 36, 37, 36, 37,
+    38, 39, 38, 39, 42, 43, 42, 43, 44, 45, 44, 45, 46, 47, 48, 49,
+    48, 49, 50, 51, 52, 53, 52, 53, 54, 55, 54, 55, 56, 57, 58, 59,
+    58, 59, 60, 61, 60, 61, 60, 61, 62, 63, 64, 65, 64, 65, 66, 67,
+    66, 67, 66, 67, 68, 69, 68, 69, 70, 71, 70, 71, 70, 71, 72, 73,
+    72, 73, 72, 73, 74, 75, 74, 75, 74, 75, 76, 77, 76, 77, 126, 127};
+
+static const uint32_t kEntropyBits[128] = {
+    0x07b23, 0x085f9, 0x074a0, 0x08cbc, 0x06ee4, 0x09354, 0x067f4, 0x09c1b,
+    0x060b0, 0x0a62a, 0x05a9c, 0x0af5b, 0x0548d, 0x0b955, 0x04f56, 0x0c2a9,
+    0x04a87, 0x0cbf7, 0x045d6, 0x0d5c3, 0x04144, 0x0e01b, 0x03d88, 0x0e937,
+    0x039e0, 0x0f2cd, 0x03663, 0x0fc9e, 0x03347, 0x10600, 0x03050, 0x10f95,
+    0x02d4d, 0x11a02, 0x02ad3, 0x12333, 0x0286e, 0x12cad, 0x02604, 0x136df,
+    0x02425, 0x13f48, 0x021f4, 0x149c4, 0x0203e, 0x1527b, 0x01e4d, 0x15d00,
+    0x01c99, 0x166de, 0x01b18, 0x17017, 0x019a5, 0x17988, 0x01841, 0x18327,
+    0x016df, 0x18d50, 0x015d9, 0x19547, 0x0147c, 0x1a083, 0x0138e, 0x1a8a3,
+    0x01251, 0x1b418, 0x01166, 0x1bd27, 0x01068, 0x1c77b, 0x00f7f, 0x1d18e,
+    0x00eda, 0x1d91a, 0x00e19, 0x1e254, 0x00d4f, 0x1ec9a, 0x00c90, 0x1f6e0,
+    0x00c01, 0x1fef8, 0x00b5f, 0x208b1, 0x00ab6, 0x21362, 0x00a15, 0x21e46,
+    0x00988, 0x2285d, 0x00934, 0x22ea8, 0x008a8, 0x239b2, 0x0081d, 0x24577,
+    0x007c9, 0x24ce6, 0x00763, 0x25663, 0x00710, 0x25e8f, 0x006a0, 0x26a26,
+    0x00672, 0x26f23, 0x005e8, 0x27ef8, 0x005ba, 0x284b5, 0x0055e, 0x29057,
+    0x0050c, 0x29bab, 0x004c1, 0x2a674, 0x004a7, 0x2aa5e, 0x0046f, 0x2b32f,
+    0x0041f, 0x2c0ad, 0x003e7, 0x2ca8d, 0x003ba, 0x2d323, 0x0010c, 0x3bfbb};
+
+static const uint8_t kRenormTable[32] = {
+    6, 5, 4, 4, 3, 3, 3, 3, 2, 2, 2, 2, 2, 2, 2, 2,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1};
+
+static const uint8_t kRangeTable[64][4] = {
+    {128, 176, 208, 240}, {128, 167, 197, 227}, {128, 158, 187, 216},
+    {123, 150, 178, 205}, {116, 142, 169, 195}, {111, 135, 160, 185},
+    {105, 128, 152, 175}, {100, 122, 144, 166}, {95, 116, 137, 158},
+    {90, 110, 130, 150}, {85, 104, 123, 142}, {81, 99, 117, 135},
+    {77, 94, 111, 128}, {73, 89, 105, 122}, {69, 85, 100, 116},
+    {66, 80, 95, 110}, {62, 76, 90, 104}, {59, 72, 86, 99},
+    {56, 69, 81, 94}, {53, 65, 77, 89}, {51, 62, 73, 85},
+    {48, 59, 69, 80}, {46, 56, 66, 76}, {43, 53, 63, 72},
+    {41, 50, 59, 69}, {39, 48, 56, 65}, {37, 45, 54, 62},
+    {35, 43, 51, 59}, {33, 41, 48, 56}, {32, 39, 46, 53},
+    {30, 37, 43, 50}, {29, 35, 41, 48}, {27, 33, 39, 45},
+    {26, 31, 37, 43}, {24, 30, 35, 41}, {23, 28, 33, 39},
+    {22, 27, 32, 37}, {21, 26, 30, 35}, {20, 24, 29, 33},
+    {19, 23, 27, 31}, {18, 22, 26, 30}, {17, 21, 25, 28},
+    {16, 20, 23, 27}, {15, 19, 22, 25}, {14, 18, 21, 24},
+    {14, 17, 20, 23}, {13, 16, 19, 22}, {12, 15, 18, 21},
+    {12, 14, 17, 20}, {11, 14, 16, 19}, {11, 13, 15, 18},
+    {10, 12, 15, 17}, {10, 12, 14, 16}, {9, 11, 13, 15},
+    {9, 11, 12, 14}, {8, 10, 12, 14}, {8, 9, 11, 13},
+    {7, 9, 11, 12}, {7, 9, 10, 12}, {7, 8, 10, 11},
+    {6, 8, 9, 11}, {6, 7, 9, 10}, {6, 7, 8, 9},
+    {2, 2, 2, 2}};
+
+// ---- scan tables (scan.py) ----
+
+static const int kLastPosGroupIdx[128] = {
+    0, 1, 2, 3, 4, 4, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7,
+    8, 8, 8, 8, 8, 8, 8, 8, 9, 9, 9, 9, 9, 9, 9, 9,
+    10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10,
+    11, 11, 11, 11, 11, 11, 11, 11, 11, 11, 11, 11, 11, 11, 11, 11,
+    12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12,
+    12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12,
+    13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13,
+    13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13};
+
+static const int kLastPosMinInGroup[14] = {
+    0, 1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96};
+
+static const int kGolombRiceRangeExt[10] = {6, 5, 6, 3, 3, 3, 3, 3, 3, 3};
+
+static const int kScanCoeff2x2[3][4] = {
+    {0, 2, 1, 3}, {0, 1, 2, 3}, {0, 2, 1, 3}};
+static const int kScanCoeff4x4[3][16] = {
+    {0, 4, 1, 8, 5, 2, 12, 9, 6, 3, 13, 10, 7, 14, 11, 15},
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15}};
+
+enum ScanOrder { kDiagonal = 0, kHorizontal = 1, kVertical = 2 };
+
+// scan.py derive_subblock_scan; table must hold width*height entries
+static void DeriveSubblockScan(int scan_order, int width, int height,
+                               int* table) {
+  int n = width * height;
+  int pos_x = 0, pos_y = 0;
+  if (scan_order == kDiagonal) {
+    for (int i = 0; i < n; i++) {
+      table[i] = pos_y * width + pos_x;
+      if (pos_x == width - 1 || pos_y == 0) {
+        pos_y += pos_x + 1;
+        pos_x = 0;
+        if (pos_y >= height) {
+          pos_x += pos_y - (height - 1);
+          pos_y = height - 1;
+        }
+      } else {
+        pos_x += 1;
+        pos_y -= 1;
+      }
+    }
+  } else if (scan_order == kHorizontal) {
+    for (int i = 0; i < n; i++) {
+      table[i] = pos_y * width + pos_x;
+      if (pos_x == width - 1) { pos_x = 0; pos_y += 1; } else { pos_x += 1; }
+    }
+  } else {
+    for (int i = 0; i < n; i++) {
+      table[i] = pos_y * width + pos_x;
+      if (pos_y == height - 1) { pos_x += 1; pos_y = 0; } else { pos_y += 1; }
+    }
+  }
+}
+
+// ---- restriction flag bits (mirrors xvc_tpu/native/__init__.py order) ----
+
+enum RestrBit {
+  R_EXT2_CABAC_ALT_RESIDUAL_CTX = 1 << 0,
+  R_CABAC_COEFF_SIG_CTX = 1 << 1,
+  R_CABAC_COEFF_GREATER1_CTX = 1 << 2,
+  R_CABAC_COEFF_GREATER2_CTX = 1 << 3,
+  R_CABAC_COEFF_LAST_POS_CTX = 1 << 4,
+  R_CABAC_SUBBLOCK_CSBF_CTX = 1 << 5,
+  R_EXT_CABAC_ALT_LAST_POS_CTX = 1 << 6,
+  R_TRANSFORM_CBF = 1 << 7,
+  R_TRANSFORM_SUBBLOCK_CSBF = 1 << 8,
+  R_TRANSFORM_LAST_POSITION = 1 << 9,
+  R_TRANSFORM_RESIDUAL_GREATER_THAN_FLAGS = 1 << 10,
+  R_TRANSFORM_RESIDUAL_GREATER2 = 1 << 11,
+  R_TRANSFORM_SIGN_HIDING = 1 << 12,
+  R_TRANSFORM_ADAPTIVE_EXP_GOLOMB = 1 << 13,
+};
+
+// ---- context family offsets (order mirrors native/__init__.py) ----
+
+enum FamIdx {
+  F_CSBF_LUMA = 0, F_CSBF_CHROMA, F_SIG_LUMA, F_SIG_CHROMA,
+  F_GREATER1_LUMA, F_GREATER1_CHROMA, F_GREATER2_LUMA, F_GREATER2_CHROMA,
+  F_EXT_CSBF_LUMA, F_EXT_CSBF_CHROMA, F_EXT_SIG_LUMA, F_EXT_SIG_CHROMA,
+  F_EXT_GREATER1_LUMA, F_EXT_GREATER1_CHROMA,
+  F_LAST_X_LUMA, F_LAST_X_CHROMA, F_LAST_Y_LUMA, F_LAST_Y_CHROMA,
+  F_NUM_FAMILIES,
+};
+
+static const int kCtxIndexMap4x4[16] = {
+    0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8};
+
+static const int kMaxNumC1Flags = 8;
+static const int kMaxNumC2Flags = 1;
+static const int kCoeffRemainBinReduction = 3;
+static const int kSignHidingThreshold = 3;
+
+struct CoeffCtxParams {
+  const int32_t* offsets;  // F_NUM_FAMILIES entries
+  uint64_t restr;
+  int is_luma;
+  int scan_order;
+  int width, height, width_log2, height_log2;
+};
+
+static inline int size_to_log2(int s) { return 31 - __builtin_clz(s); }
+
+// contexts.py get_subblock_csbf_ctx; *pattern out
+static int GetSubblockCsbfCtx(const CoeffCtxParams& p,
+                              const uint8_t* subblock_csbf,
+                              int posx, int posy, int sw, int sh,
+                              int* pattern_sig_ctx) {
+  int right = 0, below = 0;
+  int base;
+  if (!(p.restr & R_EXT2_CABAC_ALT_RESIDUAL_CTX))
+    base = p.offsets[p.is_luma ? F_EXT_CSBF_LUMA : F_EXT_CSBF_CHROMA];
+  else
+    base = p.offsets[p.is_luma ? F_CSBF_LUMA : F_CSBF_CHROMA];
+  if (posx < sw - 1) right = subblock_csbf[posy * sw + posx + 1] ? 1 : 0;
+  if (posy < sh - 1) below = subblock_csbf[(posy + 1) * sw + posx] ? 1 : 0;
+  *pattern_sig_ctx = right + (below << 1);
+  if (p.restr & R_CABAC_SUBBLOCK_CSBF_CTX) return base;
+  return base + (right | below);
+}
+
+// contexts.py get_coeff_sig_ctx (coeff = partially decoded levels)
+static int GetCoeffSigCtx(const CoeffCtxParams& p, int pattern_sig_ctx,
+                          int posx, int posy, const int32_t* coeff,
+                          int stride) {
+  if (!(p.restr & R_EXT2_CABAC_ALT_RESIDUAL_CTX)) {
+    int width = 1 << p.width_log2, height = 1 << p.height_log2;
+    int size = (p.width_log2 + p.height_log2) >> 1;
+    int posxy = posx + posy;
+    if (p.restr & R_CABAC_COEFF_SIG_CTX) return p.offsets[F_EXT_SIG_LUMA];
+    int offset = 0;
+    if (posx < width - 1) {
+      offset += coeff[posy * stride + posx + 1] ? 1 : 0;
+      if (posx < width - 2) offset += coeff[posy * stride + posx + 2] ? 1 : 0;
+      if (posy < height - 1)
+        offset += coeff[(posy + 1) * stride + posx + 1] ? 1 : 0;
+    }
+    if (posy < height - 1) {
+      offset += coeff[(posy + 1) * stride + posx] ? 1 : 0;
+      if (posy < height - 2)
+        offset += coeff[(posy + 2) * stride + posx] ? 1 : 0;
+    }
+    if (offset > 5) offset = 5;
+    int start_offset = (posxy < 2) ? 6 : 0;
+    if (p.is_luma && posxy < 5) start_offset += 6;
+    if (size > 2 && p.is_luma)
+      start_offset += 18 << ((size - 3) < 1 ? (size - 3) : 1);
+    int base = p.offsets[p.is_luma ? F_EXT_SIG_LUMA : F_EXT_SIG_CHROMA];
+    return base + start_offset + offset;
+  }
+  int base = p.offsets[p.is_luma ? F_SIG_LUMA : F_SIG_CHROMA];
+  if ((posx == 0 && posy == 0) || (p.restr & R_CABAC_COEFF_SIG_CTX))
+    return base;
+  if (p.width_log2 == 2 && p.height_log2 == 2)
+    return base + kCtxIndexMap4x4[4 * posy + posx];
+  int start_offset = p.is_luma ? 21 : 12;
+  if (p.width_log2 == 3 && p.height_log2 == 3)
+    start_offset = (p.scan_order == kDiagonal) ? 9 : 15;
+  int pxs = posx & 3, pys = posy & 3;
+  int cnt;
+  if (pattern_sig_ctx == 0) {
+    if (pxs + pys <= 2) cnt = (pxs + pys == 0) ? 2 : 1; else cnt = 0;
+  } else if (pattern_sig_ctx == 1) {
+    cnt = (pys <= 1) ? ((pys == 0) ? 2 : 1) : 0;
+  } else if (pattern_sig_ctx == 2) {
+    cnt = (pxs <= 1) ? ((pxs == 0) ? 2 : 1) : 0;
+  } else {
+    cnt = 2;
+  }
+  int comp_offset = (p.is_luma && ((posx >> 2) + (posy >> 2)) > 0) ? 3 : 0;
+  return base + start_offset + comp_offset + cnt;
+}
+
+// contexts.py _ext_greater_ctx
+static int ExtGreaterCtx(const CoeffCtxParams& p, int posx, int posy,
+                         int is_last_coeff, const int32_t* coeff, int stride,
+                         int threshold) {
+  int posxy = posx + posy;
+  int base_l = p.offsets[F_EXT_GREATER1_LUMA];
+  int base_c = p.offsets[F_EXT_GREATER1_CHROMA];
+  if (is_last_coeff) return p.is_luma ? base_l : base_c;
+  int offset = 0;
+  if (posx < p.width - 1) {
+    offset += (abs(coeff[posy * stride + posx + 1]) > threshold) ? 1 : 0;
+    if (posx < p.width - 2)
+      offset += (abs(coeff[posy * stride + posx + 2]) > threshold) ? 1 : 0;
+    if (posy < p.height - 1)
+      offset +=
+          (abs(coeff[(posy + 1) * stride + posx + 1]) > threshold) ? 1 : 0;
+  }
+  if (posy < p.height - 1) {
+    offset += (abs(coeff[(posy + 1) * stride + posx]) > threshold) ? 1 : 0;
+    if (posy < p.height - 2)
+      offset += (abs(coeff[(posy + 2) * stride + posx]) > threshold) ? 1 : 0;
+  }
+  offset = (offset < 4 ? offset : 4) + 1;
+  if (p.is_luma) {
+    int start_offset = (posxy < 3) ? 10 : ((posxy < 10) ? 5 : 0);
+    return base_l + start_offset + offset;
+  }
+  return base_c + offset;
+}
+
+// contexts.py get_coeff_greater1_ctx
+static int GetCoeffGreater1Ctx(const CoeffCtxParams& p, int ctx_set, int c1,
+                               int posx, int posy, int is_last_coeff,
+                               const int32_t* coeff, int stride) {
+  if (!(p.restr & R_EXT2_CABAC_ALT_RESIDUAL_CTX)) {
+    if (p.restr & R_CABAC_COEFF_GREATER1_CTX)
+      return p.offsets[p.is_luma ? F_EXT_GREATER1_LUMA : F_EXT_GREATER1_CHROMA];
+    return ExtGreaterCtx(p, posx, posy, is_last_coeff, coeff, stride, 1);
+  }
+  if (p.restr & R_CABAC_COEFF_GREATER1_CTX)
+    return p.offsets[p.is_luma ? F_GREATER1_LUMA : F_GREATER1_CHROMA];
+  return p.offsets[p.is_luma ? F_GREATER1_LUMA : F_GREATER1_CHROMA] +
+         4 * ctx_set + c1;
+}
+
+// contexts.py get_coeff_greater2_ctx
+static int GetCoeffGreater2Ctx(const CoeffCtxParams& p, int ctx_set,
+                               int posx, int posy, int is_last_coeff,
+                               const int32_t* coeff, int stride) {
+  if (!(p.restr & R_EXT2_CABAC_ALT_RESIDUAL_CTX)) {
+    if (p.restr & R_CABAC_COEFF_GREATER2_CTX)
+      return p.offsets[p.is_luma ? F_EXT_GREATER1_LUMA : F_EXT_GREATER1_CHROMA];
+    return ExtGreaterCtx(p, posx, posy, is_last_coeff, coeff, stride, 2);
+  }
+  if (p.restr & R_CABAC_COEFF_GREATER2_CTX)
+    return p.offsets[p.is_luma ? F_EXT_GREATER1_LUMA : F_EXT_GREATER1_CHROMA];
+  return p.offsets[p.is_luma ? F_GREATER2_LUMA : F_GREATER2_CHROMA] + ctx_set;
+}
+
+// contexts.py get_coeff_golomb_rice_k
+static int GetCoeffGolombRiceK(int posx, int posy, int width, int height,
+                               const int32_t* coeff, int stride) {
+  int offset = 0, num = 0;
+  if (posx < width - 1) {
+    int c = coeff[posy * stride + posx + 1];
+    offset += abs(c); num += c ? 1 : 0;
+    if (posx < width - 2) {
+      c = coeff[posy * stride + posx + 2];
+      offset += abs(c); num += c ? 1 : 0;
+    }
+    if (posy < height - 1) {
+      c = coeff[(posy + 1) * stride + posx + 1];
+      offset += abs(c); num += c ? 1 : 0;
+    }
+  }
+  if (posy < height - 1) {
+    int c = coeff[(posy + 1) * stride + posx];
+    offset += abs(c); num += c ? 1 : 0;
+    if (posy < height - 2) {
+      c = coeff[(posy + 2) * stride + posx];
+      offset += abs(c); num += c ? 1 : 0;
+    }
+  }
+  int threshold = 4 + offset - num;
+  for (int k = 0; k < 10; k++)
+    if ((1 << (k + 3)) > threshold) return k;
+  return 9;
+}
+
+// contexts.py get_coeff_last_pos_ctx
+static int GetCoeffLastPosCtx(const CoeffCtxParams& p, int width, int height,
+                              int pos, int is_pos_x) {
+  int size = is_pos_x ? width : height;
+  if (p.is_luma) {
+    int base = p.offsets[is_pos_x ? F_LAST_X_LUMA : F_LAST_Y_LUMA];
+    if ((p.restr & R_CABAC_COEFF_LAST_POS_CTX) &&
+        (p.restr & R_EXT_CABAC_ALT_LAST_POS_CTX))
+      return base;
+    int offset, shift;
+    if (!(p.restr & R_EXT_CABAC_ALT_LAST_POS_CTX)) {
+      static const int offset_map[8] = {0, 0, 0, 3, 6, 10, 15, 21};
+      int size_log2 = size_to_log2(size);
+      offset = offset_map[size_log2];
+      shift = (size_log2 + 1) >> 2;
+    } else {
+      int size_bits = size_to_log2(size) - 2;
+      offset = size_bits * 3 + ((size_bits + 1) >> 2);
+      shift = (size_bits + 3) >> 2;
+    }
+    return base + offset + (pos >> shift);
+  }
+  int base = p.offsets[is_pos_x ? F_LAST_X_CHROMA : F_LAST_Y_CHROMA];
+  if ((p.restr & R_CABAC_COEFF_LAST_POS_CTX) &&
+      (p.restr & R_EXT_CABAC_ALT_LAST_POS_CTX))
+    return base;
+  int shift;
+  if (!(p.restr & R_EXT_CABAC_ALT_LAST_POS_CTX)) {
+    shift = size >> 3;
+    if (shift < 0) shift = 0;
+    if (shift > 2) shift = 2;
+  } else {
+    shift = size_to_log2(size) - 2;
+  }
+  return base + (pos >> shift);
+}
+
+// ---- entropy decoder (entropy_decoder.py) ----
+
+struct XvcnDec {
+  const uint8_t* buf;
+  int64_t len;
+  int64_t pos;
+  int bit_mask;  // BitReader state for rewind/finish
+  uint8_t* ctx;  // set per call
+  int ctx_update;
+  int64_t range;
+  int64_t value;
+  int bits_needed;
+  int error;
+};
+
+static inline int DecReadByte(XvcnDec* d) {
+  if (d->pos >= d->len) { d->error = 1; return 0; }
+  return d->buf[d->pos++];
+}
+
+XVCN_API XvcnDec* xvcn_dec_create(const uint8_t* buf, int64_t len,
+                                  int64_t pos, int ctx_update) {
+  XvcnDec* d = new XvcnDec();
+  d->buf = buf; d->len = len; d->pos = pos; d->bit_mask = 0x80;
+  d->ctx = nullptr; d->ctx_update = ctx_update;
+  d->range = 510; d->bits_needed = -8; d->error = 0;
+  d->value = (DecReadByte(d) << 8) | DecReadByte(d);
+  return d;
+}
+
+XVCN_API void xvcn_dec_destroy(XvcnDec* d) { delete d; }
+XVCN_API int64_t xvcn_dec_get_pos(XvcnDec* d) { return d->pos; }
+XVCN_API int xvcn_dec_get_error(XvcnDec* d) { return d->error; }
+XVCN_API void xvcn_dec_set_ctx(XvcnDec* d, uint8_t* ctx) { d->ctx = ctx; }
+
+static inline int DecodeBin(XvcnDec* d, int ctx_idx) {
+  int state = d->ctx[ctx_idx];
+  int mps = state & 1;
+  int lps = kRangeTable[state >> 1][(d->range >> 6) & 3];
+  d->range -= lps;
+  int64_t scaled_range = d->range << 7;
+  int binval, num_bits;
+  if (d->value < scaled_range) {
+    binval = mps;
+    if (d->ctx_update) d->ctx[ctx_idx] = kNextStateMps[state];
+    if (scaled_range >= (256 << 7)) return binval;
+    num_bits = 1;
+  } else {
+    binval = 1 - mps;
+    d->value -= scaled_range;
+    d->range = lps;
+    if (d->ctx_update) d->ctx[ctx_idx] = kNextStateLps[state];
+    num_bits = kRenormTable[lps >> 3];
+  }
+  d->value <<= num_bits;
+  d->range <<= num_bits;
+  d->bits_needed += num_bits;
+  if (d->bits_needed >= 0) {
+    d->value |= (int64_t)DecReadByte(d) << d->bits_needed;
+    d->bits_needed -= 8;
+  }
+  return binval;
+}
+
+static inline int DecodeBypass(XvcnDec* d) {
+  d->value += d->value;
+  d->bits_needed += 1;
+  if (d->bits_needed >= 0) {
+    d->bits_needed = -8;
+    d->value += DecReadByte(d);
+  }
+  int64_t scaled_range = d->range << 7;
+  if (d->value >= scaled_range) {
+    d->value -= scaled_range;
+    return 1;
+  }
+  return 0;
+}
+
+static inline uint32_t DecodeBypassBins(XvcnDec* d, int num_bins) {
+  uint32_t bins = 0;
+  while (num_bins > 8) {
+    d->value = (d->value << 8) +
+               ((int64_t)DecReadByte(d) << (8 + d->bits_needed));
+    int64_t scaled_range = d->range << 15;
+    for (int i = 0; i < 8; i++) {
+      bins += bins;
+      scaled_range >>= 1;
+      if (d->value >= scaled_range) {
+        bins += 1;
+        d->value -= scaled_range;
+      }
+    }
+    num_bins -= 8;
+  }
+  d->bits_needed += num_bins;
+  d->value <<= num_bins;
+  if (d->bits_needed >= 0) {
+    d->value += (int64_t)DecReadByte(d) << d->bits_needed;
+    d->bits_needed -= 8;
+  }
+  int64_t scaled_range = d->range << (num_bins + 7);
+  for (int i = 0; i < num_bins; i++) {
+    bins += bins;
+    scaled_range >>= 1;
+    if (d->value >= scaled_range) {
+      bins += 1;
+      d->value -= scaled_range;
+    }
+  }
+  return bins;
+}
+
+static void DecRewind(XvcnDec* d, int num_bits) {
+  for (int i = 0; i < num_bits; i++) {
+    d->bit_mask <<= 1;
+    if (d->bit_mask == 0x100) { d->bit_mask = 0x1; d->pos -= 1; }
+  }
+}
+
+static inline int DecodeBinTrm(XvcnDec* d) {
+  d->range -= 2;
+  int64_t scaled_range = d->range << 7;
+  if (d->value >= scaled_range) {
+    DecRewind(d, -d->bits_needed);
+    return 1;
+  }
+  if (scaled_range < (256 << 7)) {
+    d->range = scaled_range >> 6;
+    d->value <<= 1;
+    d->bits_needed += 1;
+    if (d->bits_needed == 0) {
+      d->bits_needed = -8;
+      d->value += DecReadByte(d);
+    }
+  }
+  return 0;
+}
+
+XVCN_API int xvcn_dec_decode_bin(XvcnDec* d, uint8_t* ctx, int ctx_idx) {
+  d->ctx = ctx;
+  return DecodeBin(d, ctx_idx);
+}
+XVCN_API int xvcn_dec_decode_bypass(XvcnDec* d) { return DecodeBypass(d); }
+XVCN_API uint32_t xvcn_dec_decode_bypass_bins(XvcnDec* d, int n) {
+  return DecodeBypassBins(d, n);
+}
+XVCN_API int xvcn_dec_decode_bin_trm(XvcnDec* d) { return DecodeBinTrm(d); }
+
+// BitReader.read_bits(1) + skip_bits (EntropyDecoder.finish)
+XVCN_API void xvcn_dec_finish(XvcnDec* d) {
+  // read one bit MSB-first from (pos, bit_mask)
+  d->bit_mask >>= 1;
+  if (!d->bit_mask) {
+    d->bit_mask = 0x80;
+    if (d->pos < d->len) d->pos += 1;
+  }
+  // skip_bits: byte align
+  if (d->bit_mask != 0x80) {
+    d->bit_mask = 0x80;
+    if (d->pos < d->len) d->pos += 1;
+  }
+}
+
+// ---- entropy encoder (entropy_encoder.py) ----
+
+struct XvcnEnc {
+  uint8_t* ctx;  // set per call
+  int ctx_update;
+  int counting;  // no byte output, frac_bits only
+  uint64_t low;
+  int64_t range;
+  int bits_left;
+  int buffered_byte;
+  int num_buffered_bytes;
+  uint64_t frac_bits;
+  uint8_t* out;
+  int64_t out_len;
+  int64_t out_cap;
+  int out_shift;  // bit position within last byte (BitWriter.shift)
+  int error;
+};
+
+static void EncGrow(XvcnEnc* e) {
+  int64_t cap = e->out_cap * 2;
+  if (cap < 4096) cap = 4096;
+  e->out = (uint8_t*)realloc(e->out, cap);
+  e->out_cap = cap;
+}
+
+static inline void EncWriteByte(XvcnEnc* e, int b) {
+  if (e->out_len >= e->out_cap) EncGrow(e);
+  e->out[e->out_len++] = (uint8_t)(b & 0xFF);
+}
+
+static inline void EncWriteBit(XvcnEnc* e, int bit) {
+  if (e->out_shift) {
+    e->out[e->out_len - 1] |= (bit & 1) << (8 - e->out_shift - 1);
+    e->out_shift = (e->out_shift + 1) & 7;
+  } else {
+    if (e->out_len >= e->out_cap) EncGrow(e);
+    e->out[e->out_len++] = (uint8_t)((bit & 1) << 7);
+    e->out_shift = 1;
+  }
+}
+
+static inline void EncWriteBits(XvcnEnc* e, uint64_t value, int n) {
+  for (int i = n - 1; i >= 0; i--) EncWriteBit(e, (value >> i) & 1);
+}
+
+XVCN_API XvcnEnc* xvcn_enc_create(int ctx_update, int counting,
+                                  int64_t out_cap) {
+  XvcnEnc* e = new XvcnEnc();
+  e->ctx = nullptr; e->ctx_update = ctx_update; e->counting = counting;
+  e->low = 0; e->range = 510; e->bits_left = 23;
+  e->buffered_byte = 0xFF; e->num_buffered_bytes = 0;
+  e->frac_bits = 0; e->out_len = 0; e->out_shift = 0; e->error = 0;
+  e->out_cap = counting ? 0 : (out_cap > 0 ? out_cap : 4096);
+  e->out = counting ? nullptr : (uint8_t*)malloc(e->out_cap);
+  return e;
+}
+
+XVCN_API void xvcn_enc_destroy(XvcnEnc* e) {
+  if (e->out) free(e->out);
+  delete e;
+}
+
+XVCN_API uint64_t xvcn_enc_get_frac_bits(XvcnEnc* e) { return e->frac_bits; }
+XVCN_API void xvcn_enc_set_frac_bits(XvcnEnc* e, uint64_t fb) {
+  e->frac_bits = fb;
+}
+XVCN_API int xvcn_enc_get_error(XvcnEnc* e) { return e->error; }
+XVCN_API int64_t xvcn_enc_get_out_len(XvcnEnc* e) { return e->out_len; }
+XVCN_API void xvcn_enc_copy_out(XvcnEnc* e, uint8_t* dst) {
+  memcpy(dst, e->out, e->out_len);
+}
+
+static void EncWriteOut(XvcnEnc* e) {
+  uint64_t lead_byte = e->low >> (24 - e->bits_left);
+  e->bits_left += 8;
+  e->low &= 0xFFFFFFFFull >> e->bits_left;
+  if (lead_byte == 0xFF) {
+    e->num_buffered_bytes += 1;
+  } else {
+    if (e->num_buffered_bytes > 0) {
+      int carry = (int)(lead_byte >> 8);
+      int byte = e->buffered_byte + carry;
+      e->buffered_byte = (int)(lead_byte & 0xFF);
+      EncWriteByte(e, byte);
+      byte = (0xFF + carry) & 0xFF;
+      while (e->num_buffered_bytes > 1) {
+        EncWriteByte(e, byte);
+        e->num_buffered_bytes -= 1;
+      }
+    } else {
+      e->num_buffered_bytes = 1;
+      e->buffered_byte = (int)lead_byte;
+    }
+  }
+}
+
+static inline void EncodeBin(XvcnEnc* e, int binval, int ctx_idx) {
+  int state = e->ctx[ctx_idx];
+  int mps = state & 1;
+  e->frac_bits += kEntropyBits[state ^ binval];
+  if (e->counting) {
+    if (e->ctx_update)
+      e->ctx[ctx_idx] =
+          (binval != mps) ? kNextStateLps[state] : kNextStateMps[state];
+    return;
+  }
+  int lps = kRangeTable[state >> 1][(e->range >> 6) & 3];
+  e->range -= lps;
+  int num_bits;
+  if (binval != mps) {
+    num_bits = kRenormTable[lps >> 3];
+    e->low += e->range;
+    e->range = lps;
+    if (e->ctx_update) e->ctx[ctx_idx] = kNextStateLps[state];
+  } else {
+    num_bits = (e->range < 256) ? 1 : 0;
+    if (e->ctx_update) e->ctx[ctx_idx] = kNextStateMps[state];
+  }
+  e->low <<= num_bits;
+  e->range <<= num_bits;
+  e->bits_left -= num_bits;
+  if (num_bits && e->bits_left < 12) EncWriteOut(e);
+}
+
+static inline void EncodeBypass(XvcnEnc* e, int binval) {
+  e->frac_bits += kEntropyBypassBits;
+  if (e->counting) return;
+  e->low <<= 1;
+  if (binval) e->low += e->range;
+  e->bits_left -= 1;
+  if (e->bits_left < 12) EncWriteOut(e);
+}
+
+static inline void EncodeBypassBins(XvcnEnc* e, uint32_t binvals,
+                                    int num_bins) {
+  e->frac_bits += (uint64_t)kEntropyBypassBits * num_bins;
+  if (e->counting) return;
+  while (num_bins > 8) {
+    num_bins -= 8;
+    uint32_t pattern = binvals >> num_bins;
+    e->low <<= 8;
+    e->low += (uint64_t)e->range * pattern;
+    binvals -= pattern << num_bins;
+    e->bits_left -= 8;
+    if (e->bits_left < 12) EncWriteOut(e);
+  }
+  e->low <<= num_bins;
+  e->low += (uint64_t)e->range * binvals;
+  e->bits_left -= num_bins;
+  if (e->bits_left < 12) EncWriteOut(e);
+}
+
+static inline void EncodeBinTrm(XvcnEnc* e, int binval) {
+  e->frac_bits += kEntropyBits[126 ^ binval];
+  if (e->counting) return;
+  e->range -= 2;
+  int num_bits;
+  if (binval) {
+    e->low += e->range;
+    e->range = 2;
+    num_bits = 7;
+  } else {
+    num_bits = (e->range < 256) ? 1 : 0;
+  }
+  e->low <<= num_bits;
+  e->range <<= num_bits;
+  e->bits_left -= num_bits;
+  if (e->bits_left < 12) EncWriteOut(e);
+}
+
+XVCN_API void xvcn_enc_encode_bin(XvcnEnc* e, uint8_t* ctx, int binval,
+                                  int ctx_idx) {
+  e->ctx = ctx;
+  EncodeBin(e, binval, ctx_idx);
+}
+XVCN_API void xvcn_enc_encode_bypass(XvcnEnc* e, int binval) {
+  EncodeBypass(e, binval);
+}
+XVCN_API void xvcn_enc_encode_bypass_bins(XvcnEnc* e, uint32_t binvals,
+                                          int n) {
+  EncodeBypassBins(e, binvals, n);
+}
+XVCN_API void xvcn_enc_encode_bin_trm(XvcnEnc* e, int binval) {
+  EncodeBinTrm(e, binval);
+}
+
+// EntropyEncoder.finish: flush carry chain + final bits, zero-pad to byte
+XVCN_API void xvcn_enc_finish(XvcnEnc* e) {
+  if (e->counting) return;
+  if (e->low >> (32 - e->bits_left)) {
+    EncWriteByte(e, (e->buffered_byte + 1) & 0xFF);
+    while (e->num_buffered_bytes > 1) {
+      EncWriteByte(e, 0x00);
+      e->num_buffered_bytes -= 1;
+    }
+    e->low -= 1ull << (32 - e->bits_left);
+  } else {
+    if (e->num_buffered_bytes > 0) EncWriteByte(e, e->buffered_byte & 0xFF);
+    while (e->num_buffered_bytes > 1) {
+      EncWriteByte(e, 0xFF);
+      e->num_buffered_bytes -= 1;
+    }
+  }
+  EncWriteBits(e, e->low >> 8, 24 - e->bits_left);
+  EncWriteBits(e, 1, 1);
+  e->out_shift = 0;  // pad_zero_bits
+}
+
+// ---- residual coefficient parse (syntax/reader.py _read_coeff_subblock) ----
+
+static int ReadCoeffRemainExpGolomb(XvcnDec* d, uint64_t restr,
+                                    int golomb_rice_k) {
+  int threshold = !(restr & R_EXT2_CABAC_ALT_RESIDUAL_CTX)
+                      ? kGolombRiceRangeExt[golomb_rice_k]
+                      : kCoeffRemainBinReduction;
+  int prefix = 0;
+  while (DecodeBypass(d) != 0) {
+    prefix += 1;
+    if (d->error) return 0;
+  }
+  if (prefix < threshold) {
+    int code_word = (int)DecodeBypassBins(d, golomb_rice_k);
+    return (prefix << golomb_rice_k) + code_word;
+  }
+  int code_word = (int)DecodeBypassBins(d, prefix - threshold + golomb_rice_k);
+  return code_word +
+         ((((1 << (prefix - threshold)) + threshold - 1)) << golomb_rice_k);
+}
+
+static void ReadCoeffLastPos(XvcnDec* d, const CoeffCtxParams& p,
+                             int* out_x, int* out_y) {
+  int width = p.width, height = p.height;
+  if (p.scan_order == kVertical) { int t = width; width = height; height = t; }
+  int group_idx_x = kLastPosGroupIdx[width - 1];
+  int group_idx_y = kLastPosGroupIdx[height - 1];
+  int pos_last_x = 0;
+  while (pos_last_x < group_idx_x) {
+    int ctx = GetCoeffLastPosCtx(p, width, height, pos_last_x, 1);
+    if (!DecodeBin(d, ctx)) break;
+    pos_last_x += 1;
+  }
+  int pos_last_y = 0;
+  while (pos_last_y < group_idx_y) {
+    int ctx = GetCoeffLastPosCtx(p, width, height, pos_last_y, 0);
+    if (!DecodeBin(d, ctx)) break;
+    pos_last_y += 1;
+  }
+  if (pos_last_x > 3) {
+    int offset = 0;
+    int count = (pos_last_x - 2) >> 1;
+    for (int i = count - 1; i >= 0; i--) offset += DecodeBypass(d) << i;
+    pos_last_x = kLastPosMinInGroup[pos_last_x] + offset;
+  }
+  if (pos_last_y > 3) {
+    int offset = 0;
+    int count = (pos_last_y - 2) >> 1;
+    for (int i = count - 1; i >= 0; i--) offset += DecodeBypass(d) << i;
+    pos_last_y = kLastPosMinInGroup[pos_last_y] + offset;
+  }
+  if (p.scan_order == kVertical) {
+    int t = pos_last_x; pos_last_x = pos_last_y; pos_last_y = t;
+  }
+  *out_x = pos_last_x;
+  *out_y = pos_last_y;
+}
+
+static int DetermineLastIndex(int sw, int sh, int pos_last_x, int pos_last_y,
+                              const int* sub_scan, const int* scan_table,
+                              int subblock_shift) {
+  int subblock_mask = (1 << subblock_shift) - 1;
+  int subblock_size = 1 << (2 * subblock_shift);
+  int nbr = sw * sh;
+  for (int si = 0; si < nbr; si++) {
+    int sscan = sub_scan[si];
+    int sy = sscan / sw;
+    int sx = sscan - sy * sw;
+    int spx = sx << subblock_shift, spy = sy << subblock_shift;
+    for (int ci = 0; ci < subblock_size; ci++) {
+      int so = scan_table[ci];
+      int cx = spx + (so & subblock_mask);
+      int cy = spy + (so >> subblock_shift);
+      if (cx == pos_last_x && cy == pos_last_y)
+        return (si << (2 * subblock_shift)) + ci;
+    }
+  }
+  return -1;
+}
+
+XVCN_API int xvcn_read_coefficients(
+    XvcnDec* d, uint8_t* ctx, const int32_t* offsets, uint64_t restr,
+    int width, int height, int subblock_shift, int is_luma, int scan_order,
+    int32_t* dst, int stride) {
+  d->ctx = ctx;
+  CoeffCtxParams p;
+  p.offsets = offsets; p.restr = restr; p.is_luma = is_luma;
+  p.scan_order = scan_order; p.width = width; p.height = height;
+  p.width_log2 = size_to_log2(width);
+  p.height_log2 = size_to_log2(height);
+  int log2size = p.width_log2;
+  int subblock_mask = (1 << subblock_shift) - 1;
+  int subblock_size = 1 << (subblock_shift * 2);
+
+  int sw = width >> subblock_shift;
+  int sh = height >> subblock_shift;
+  int nbr_subblocks = sw * sh;
+  uint8_t subblock_csbf[1024];
+  memset(subblock_csbf, 0, nbr_subblocks);
+  int sub_scan[1024];
+  DeriveSubblockScan(scan_order, sw, sh, sub_scan);
+  const int* scan_table = (subblock_shift == 1)
+                              ? kScanCoeff2x2[scan_order]
+                              : kScanCoeff4x4[scan_order];
+
+  int subblock_last_index = nbr_subblocks - 1;
+  int subblock_last_coeff_offset = 1;
+  int coeff_num_non_zero = 0;
+  int total_num_sig_coeff = 0;
+  int subblock_coeff[16];
+  int subblock_pos[16];
+  memset(subblock_coeff, 0, sizeof(subblock_coeff));
+  memset(subblock_pos, 0, sizeof(subblock_pos));
+  subblock_pos[0] = -1;
+  int last_nonzero_pos = -1;
+  int first_nonzero_pos = subblock_size;
+
+  if (!(restr & R_TRANSFORM_LAST_POSITION)) {
+    int pos_last_x, pos_last_y;
+    ReadCoeffLastPos(d, p, &pos_last_x, &pos_last_y);
+    int pos_last_index = DetermineLastIndex(
+        sw, sh, pos_last_x, pos_last_y, sub_scan, scan_table, subblock_shift);
+    if (pos_last_index < 0) { d->error = 1; return 0; }
+    int pos_last = (pos_last_y << log2size) + pos_last_x;
+    subblock_last_index = pos_last_index >> (2 * subblock_shift);
+    subblock_last_coeff_offset =
+        ((subblock_last_index + 1) << (2 * subblock_shift)) -
+        pos_last_index + 1;
+    if ((restr & R_TRANSFORM_CBF) && (restr & R_TRANSFORM_SUBBLOCK_CSBF) &&
+        pos_last_x == 0 && pos_last_y == 0) {
+      subblock_last_coeff_offset -= 1;
+    } else {
+      subblock_coeff[0] = 1;
+      coeff_num_non_zero = 1;
+      dst[pos_last_y * stride + pos_last_x] = 1;
+    }
+    subblock_pos[0] = pos_last;
+    int subblock_last_offset = subblock_last_index << (2 * subblock_shift);
+    last_nonzero_pos = pos_last_index - subblock_last_offset;
+    first_nonzero_pos = pos_last_index - subblock_last_offset;
+  }
+
+  int c1 = 1;
+  for (int subblock_index = subblock_last_index; subblock_index >= 0;
+       subblock_index--) {
+    int subblock_scan = sub_scan[subblock_index];
+    int ssy = subblock_scan / sw;
+    int ssx = subblock_scan - ssy * sw;
+    int spx = ssx << subblock_shift, spy = ssy << subblock_shift;
+
+    int is_last_subblock = (subblock_index == subblock_last_index &&
+                            !(restr & R_TRANSFORM_LAST_POSITION) &&
+                            !(restr & R_TRANSFORM_CBF));
+    int is_first_subblock =
+        (subblock_index == 0 && !(restr & R_TRANSFORM_CBF));
+    int pattern_sig_ctx;
+    if (is_last_subblock || is_first_subblock ||
+        (restr & R_TRANSFORM_SUBBLOCK_CSBF)) {
+      subblock_csbf[subblock_scan] = 1;
+      GetSubblockCsbfCtx(p, subblock_csbf, ssx, ssy, sw, sh,
+                         &pattern_sig_ctx);
+    } else {
+      int cidx = GetSubblockCsbfCtx(p, subblock_csbf, ssx, ssy, sw, sh,
+                                    &pattern_sig_ctx);
+      subblock_csbf[subblock_scan] = (uint8_t)DecodeBin(d, cidx);
+    }
+    if (!subblock_csbf[subblock_scan]) continue;
+
+    for (int coeff_index = subblock_size - subblock_last_coeff_offset;
+         coeff_index >= 0; coeff_index--) {
+      int so = scan_table[coeff_index];
+      int coeff_scan_x = spx + (so & subblock_mask);
+      int coeff_scan_y = spy + (so >> subblock_shift);
+      int not_first_subblock =
+          subblock_index > 0 && !(restr & R_TRANSFORM_SUBBLOCK_CSBF);
+      int sig;
+      if (coeff_index == 0 && not_first_subblock && coeff_num_non_zero == 0) {
+        sig = 1;
+      } else {
+        int cidx = GetCoeffSigCtx(p, pattern_sig_ctx, coeff_scan_x,
+                                  coeff_scan_y, dst, stride);
+        sig = DecodeBin(d, cidx) != 0;
+      }
+      if (sig) {
+        subblock_coeff[coeff_num_non_zero] = 1;
+        subblock_pos[coeff_num_non_zero] =
+            (coeff_scan_y << log2size) + coeff_scan_x;
+        coeff_num_non_zero += 1;
+        dst[coeff_scan_y * stride + coeff_scan_x] = 1;
+        if (last_nonzero_pos == -1) last_nonzero_pos = coeff_index;
+        first_nonzero_pos = coeff_index;
+      } else {
+        dst[coeff_scan_y * stride + coeff_scan_x] = 0;
+      }
+    }
+    subblock_last_coeff_offset = 1;
+    if (!coeff_num_non_zero) continue;
+
+    int ctx_set = (subblock_index > 0 && is_luma) ? 2 : 0;
+    if (c1 == 0) ctx_set += 1;
+    c1 = 1;
+    int first_c2_idx = -1;
+
+    int max_num_c1_flags = kMaxNumC1Flags;
+    if (restr & R_TRANSFORM_RESIDUAL_GREATER_THAN_FLAGS) max_num_c1_flags = 0;
+    for (int i = 0; i < coeff_num_non_zero; i++) {
+      if (i == max_num_c1_flags) break;
+      int coeff_scan_y = subblock_pos[i] >> log2size;
+      int coeff_scan_x = subblock_pos[i] - (coeff_scan_y << log2size);
+      int cidx = GetCoeffGreater1Ctx(p, ctx_set, c1, coeff_scan_x,
+                                     coeff_scan_y,
+                                     (i == 0 && is_last_subblock), dst,
+                                     stride);
+      int greater1 = DecodeBin(d, cidx);
+      if (greater1) {
+        c1 = 0;
+        if (first_c2_idx == -1 && !(restr & R_TRANSFORM_RESIDUAL_GREATER2))
+          first_c2_idx = i;
+        subblock_coeff[i] = 2;
+        dst[coeff_scan_y * stride + coeff_scan_x] = 2;
+      } else if (0 < c1 && c1 < 3) {
+        c1 += 1;
+      }
+    }
+
+    if (first_c2_idx >= 0) {
+      int coeff_scan_y = subblock_pos[first_c2_idx] >> log2size;
+      int coeff_scan_x =
+          subblock_pos[first_c2_idx] - (coeff_scan_y << log2size);
+      int cidx = GetCoeffGreater2Ctx(p, ctx_set, coeff_scan_x, coeff_scan_y,
+                                     (first_c2_idx == 0 && is_last_subblock),
+                                     dst, stride);
+      int abs_lvl = DecodeBin(d, cidx);
+      subblock_coeff[first_c2_idx] += abs_lvl;
+      dst[coeff_scan_y * stride + coeff_scan_x] += abs_lvl;
+    }
+
+    int sign_hidden = 0;
+    if (!(restr & R_TRANSFORM_SIGN_HIDING) &&
+        last_nonzero_pos - first_nonzero_pos > kSignHidingThreshold)
+      sign_hidden = 1;
+    last_nonzero_pos = -1;
+    first_nonzero_pos = subblock_size;
+
+    uint32_t coeff_signs;
+    if (sign_hidden) {
+      coeff_signs = DecodeBypassBins(d, coeff_num_non_zero - 1);
+      coeff_signs <<= 32 - (coeff_num_non_zero - 1);
+    } else {
+      coeff_signs = DecodeBypassBins(d, coeff_num_non_zero);
+      coeff_signs <<= 32 - coeff_num_non_zero;
+    }
+
+    if (c1 == 0 || coeff_num_non_zero > max_num_c1_flags) {
+      int first_coeff_greater2 =
+          (restr & R_TRANSFORM_RESIDUAL_GREATER2) ? 0 : 1;
+      int golomb_rice_k = 0;
+      for (int i = 0; i < coeff_num_non_zero; i++) {
+        int coeff_scan_y = subblock_pos[i] >> log2size;
+        int coeff_scan_x = subblock_pos[i] - (coeff_scan_y << log2size);
+        int base_level =
+            (i < max_num_c1_flags) ? (2 + first_coeff_greater2) : 1;
+        if (subblock_coeff[i] == base_level) {
+          if (!(restr & R_EXT2_CABAC_ALT_RESIDUAL_CTX))
+            golomb_rice_k = GetCoeffGolombRiceK(coeff_scan_x, coeff_scan_y,
+                                                width, height, dst, stride);
+          int abs_lvl = ReadCoeffRemainExpGolomb(d, restr, golomb_rice_k);
+          subblock_coeff[i] += abs_lvl;
+          dst[coeff_scan_y * stride + coeff_scan_x] += abs_lvl;
+          if (subblock_coeff[i] > 3 * (1 << golomb_rice_k) &&
+              !(restr & R_TRANSFORM_ADAPTIVE_EXP_GOLOMB))
+            golomb_rice_k = golomb_rice_k + 1 < 4 ? golomb_rice_k + 1 : 4;
+        }
+        if (subblock_coeff[i] >= 2) first_coeff_greater2 = 0;
+      }
+    }
+
+    int abs_sum = 0;
+    for (int i = 0; i < coeff_num_non_zero; i++) {
+      int coeff_scan_y = subblock_pos[i] >> log2size;
+      int coeff_scan_x = subblock_pos[i] - (coeff_scan_y << log2size);
+      int coeff = subblock_coeff[i];
+      abs_sum += coeff;
+      if (i == coeff_num_non_zero - 1 && sign_hidden) {
+        int sign = (abs_sum & 1) ? -1 : 1;
+        dst[coeff_scan_y * stride + coeff_scan_x] = sign * coeff;
+      } else {
+        int sign = (coeff_signs & 0x80000000u) ? -1 : 0;
+        dst[coeff_scan_y * stride + coeff_scan_x] = (coeff ^ sign) - sign;
+        coeff_signs <<= 1;
+      }
+    }
+    total_num_sig_coeff += coeff_num_non_zero;
+    coeff_num_non_zero = 0;
+    if (d->error) return 0;
+  }
+
+  if (!total_num_sig_coeff && subblock_pos[0] != -1) {
+    int coeff_scan_y = subblock_pos[0] >> log2size;
+    int coeff_scan_x = subblock_pos[0] - (coeff_scan_y << log2size);
+    dst[coeff_scan_y * stride + coeff_scan_x] = 0;
+  }
+  return total_num_sig_coeff;
+}
+
+// ---- residual coefficient write (syntax/writer.py _write_coeff_subblock) ----
+
+static void WriteCoeffRemainExpGolomb(XvcnEnc* e, uint64_t restr,
+                                      int code_number, int golomb_rice_k) {
+  int threshold = !(restr & R_EXT2_CABAC_ALT_RESIDUAL_CTX)
+                      ? kGolombRiceRangeExt[golomb_rice_k]
+                      : kCoeffRemainBinReduction;
+  if (code_number < (threshold << golomb_rice_k)) {
+    int length = code_number >> golomb_rice_k;
+    EncodeBypassBins(e, (1u << (length + 1)) - 2, length + 1);
+    EncodeBypassBins(e, code_number & ((1 << golomb_rice_k) - 1),
+                     golomb_rice_k);
+  } else {
+    int length = golomb_rice_k;
+    code_number -= threshold << golomb_rice_k;
+    while (code_number >= (1 << length)) {
+      code_number -= 1 << length;
+      length += 1;
+    }
+    int num_bins = threshold + length + 1 - golomb_rice_k;
+    EncodeBypassBins(e, (1u << num_bins) - 2, num_bins);
+    EncodeBypassBins(e, code_number, length);
+  }
+}
+
+static void WriteCoeffLastPos(XvcnEnc* e, const CoeffCtxParams& p,
+                              int last_pos_x, int last_pos_y) {
+  int width = p.width, height = p.height;
+  if (p.scan_order == kVertical) {
+    int t = last_pos_x; last_pos_x = last_pos_y; last_pos_y = t;
+    t = width; width = height; height = t;
+  }
+  int group_idx_x = kLastPosGroupIdx[last_pos_x];
+  int group_idx_y = kLastPosGroupIdx[last_pos_y];
+  for (int i = 0; i < group_idx_x; i++)
+    EncodeBin(e, 1, GetCoeffLastPosCtx(p, width, height, i, 1));
+  if (group_idx_x < kLastPosGroupIdx[width - 1])
+    EncodeBin(e, 0, GetCoeffLastPosCtx(p, width, height, group_idx_x, 1));
+  for (int i = 0; i < group_idx_y; i++)
+    EncodeBin(e, 1, GetCoeffLastPosCtx(p, width, height, i, 0));
+  if (group_idx_y < kLastPosGroupIdx[height - 1])
+    EncodeBin(e, 0, GetCoeffLastPosCtx(p, width, height, group_idx_y, 0));
+  if (group_idx_x > 3) {
+    int length = (group_idx_x - 2) >> 1;
+    int remain_x = last_pos_x - kLastPosMinInGroup[group_idx_x];
+    for (int i = length - 1; i >= 0; i--)
+      EncodeBypass(e, (remain_x >> i) & 1);
+  }
+  if (group_idx_y > 3) {
+    int length = (group_idx_y - 2) >> 1;
+    int remain_y = last_pos_y - kLastPosMinInGroup[group_idx_y];
+    for (int i = length - 1; i >= 0; i--)
+      EncodeBypass(e, (remain_y >> i) & 1);
+  }
+}
+
+XVCN_API int xvcn_write_coefficients(
+    XvcnEnc* e, uint8_t* ctx, const int32_t* offsets, uint64_t restr,
+    int width, int height, int subblock_shift, int is_luma, int scan_order,
+    const int32_t* src, int stride) {
+  e->ctx = ctx;
+  CoeffCtxParams p;
+  p.offsets = offsets; p.restr = restr; p.is_luma = is_luma;
+  p.scan_order = scan_order; p.width = width; p.height = height;
+  p.width_log2 = size_to_log2(width);
+  p.height_log2 = size_to_log2(height);
+  int log2size = p.width_log2;
+  int subblock_mask = (1 << subblock_shift) - 1;
+  int subblock_size = 1 << (2 * subblock_shift);
+
+  int sw = width >> subblock_shift;
+  int sh = height >> subblock_shift;
+  int nbr_subblocks = sw * sh;
+  uint8_t subblock_csbf[1024];
+  memset(subblock_csbf, 0, nbr_subblocks);
+  if (!(restr & R_TRANSFORM_CBF)) subblock_csbf[0] = 1;
+  int sub_scan[1024];
+  DeriveSubblockScan(scan_order, sw, sh, sub_scan);
+  const int* scan_table = (subblock_shift == 1)
+                              ? kScanCoeff2x2[scan_order]
+                              : kScanCoeff4x4[scan_order];
+
+  int subblock_last_index = nbr_subblocks - 1;
+  int subblock_last_coeff_offset = 1;
+  uint32_t coeff_signs = 0;
+  int coeff_num_non_zero = 0;
+  int total_num_sig_coeff = 0;
+  int subblock_coeff[16];
+  int subblock_pos[16];
+  memset(subblock_coeff, 0, sizeof(subblock_coeff));
+  memset(subblock_pos, 0, sizeof(subblock_pos));
+  int pos_last_index = 0;
+  int pos_last_x = 0, pos_last_y = 0;
+
+  for (int subblock_index = 0; subblock_index < nbr_subblocks;
+       subblock_index++) {
+    int subblock_scan = sub_scan[subblock_index];
+    int sy = subblock_scan / sw;
+    int sx = subblock_scan - sy * sw;
+    int spx = sx << subblock_shift, spy = sy << subblock_shift;
+    for (int coeff_index = 0; coeff_index < subblock_size; coeff_index++) {
+      int so = scan_table[coeff_index];
+      int cxx = spx + (so & subblock_mask);
+      int cyy = spy + (so >> subblock_shift);
+      if (src[cyy * stride + cxx]) {
+        pos_last_index = (subblock_index << (2 * subblock_shift)) +
+                         coeff_index;
+        pos_last_x = cxx;
+        pos_last_y = cyy;
+        subblock_csbf[subblock_scan] = 1;
+      }
+    }
+  }
+
+  int last_nonzero_pos = -1;
+  int first_nonzero_pos = subblock_size;
+  if (!(restr & R_TRANSFORM_LAST_POSITION)) {
+    WriteCoeffLastPos(e, p, pos_last_x, pos_last_y);
+    subblock_last_index = pos_last_index >> (2 * subblock_shift);
+    int last_coeff = src[pos_last_y * stride + pos_last_x];
+    subblock_last_coeff_offset =
+        ((subblock_last_index + 1) << (2 * subblock_shift)) -
+        pos_last_index + 1;
+    if ((restr & R_TRANSFORM_CBF) && (restr & R_TRANSFORM_SUBBLOCK_CSBF) &&
+        pos_last_x == 0 && pos_last_y == 0) {
+      subblock_last_coeff_offset -= 1;
+    } else {
+      coeff_num_non_zero = 1;
+      coeff_signs = (last_coeff < 0) ? 1 : 0;
+    }
+    subblock_coeff[0] = abs(last_coeff);
+    subblock_pos[0] = (pos_last_y << log2size) + pos_last_x;
+    int subblock_last_offset = subblock_last_index << (2 * subblock_shift);
+    last_nonzero_pos = pos_last_index - subblock_last_offset;
+    first_nonzero_pos = pos_last_index - subblock_last_offset;
+  }
+
+  int c1 = 1;
+  for (int subblock_index = subblock_last_index; subblock_index >= 0;
+       subblock_index--) {
+    int subblock_scan = sub_scan[subblock_index];
+    int sy = subblock_scan / sw;
+    int sx = subblock_scan - sy * sw;
+    int spx = sx << subblock_shift, spy = sy << subblock_shift;
+
+    if (restr & R_TRANSFORM_SUBBLOCK_CSBF) subblock_csbf[subblock_scan] = 1;
+    int sig = subblock_csbf[subblock_scan] != 0;
+    int is_last_subblock = (subblock_index == subblock_last_index &&
+                            !(restr & R_TRANSFORM_LAST_POSITION) &&
+                            !(restr & R_TRANSFORM_CBF));
+    int is_first_subblock =
+        (subblock_index == 0 && !(restr & R_TRANSFORM_CBF));
+    int pattern_sig_ctx;
+    if (is_last_subblock || is_first_subblock ||
+        (restr & R_TRANSFORM_SUBBLOCK_CSBF)) {
+      GetSubblockCsbfCtx(p, subblock_csbf, sx, sy, sw, sh, &pattern_sig_ctx);
+    } else {
+      int cidx =
+          GetSubblockCsbfCtx(p, subblock_csbf, sx, sy, sw, sh,
+                             &pattern_sig_ctx);
+      EncodeBin(e, sig ? 1 : 0, cidx);
+    }
+    if (!sig) continue;
+
+    for (int coeff_index = subblock_size - subblock_last_coeff_offset;
+         coeff_index >= 0; coeff_index--) {
+      int so = scan_table[coeff_index];
+      int cxx = spx + (so & subblock_mask);
+      int cyy = spy + (so >> subblock_shift);
+      int coeff = src[cyy * stride + cxx];
+      int not_first_subblock =
+          subblock_index > 0 && !(restr & R_TRANSFORM_SUBBLOCK_CSBF);
+      if (coeff_index == 0 && not_first_subblock && coeff_num_non_zero == 0) {
+        // implicit 1
+      } else {
+        int cidx = GetCoeffSigCtx(p, pattern_sig_ctx, cxx, cyy, src, stride);
+        EncodeBin(e, coeff ? 1 : 0, cidx);
+      }
+      if (coeff) {
+        subblock_coeff[coeff_num_non_zero] = abs(coeff);
+        subblock_pos[coeff_num_non_zero] = (cyy << log2size) + cxx;
+        coeff_num_non_zero += 1;
+        coeff_signs = (coeff_signs << 1) + ((coeff < 0) ? 1 : 0);
+        if (last_nonzero_pos == -1) last_nonzero_pos = coeff_index;
+        first_nonzero_pos = coeff_index;
+      }
+    }
+    subblock_last_coeff_offset = 1;
+    if (!coeff_num_non_zero) {
+      last_nonzero_pos = -1;
+      first_nonzero_pos = subblock_size;
+      continue;
+    }
+
+    int max_num_c1_flags = kMaxNumC1Flags;
+    if (restr & R_TRANSFORM_RESIDUAL_GREATER_THAN_FLAGS) max_num_c1_flags = 0;
+    int ctx_set = (subblock_index > 0 && is_luma) ? 2 : 0;
+    if (c1 == 0) ctx_set += 1;
+    c1 = 1;
+    int first_c2_idx = -1;
+    for (int i = 0; i < coeff_num_non_zero; i++) {
+      if (i == max_num_c1_flags) break;
+      int cyy = subblock_pos[i] >> log2size;
+      int cxx = subblock_pos[i] - (cyy << log2size);
+      int greater1 = (subblock_coeff[i] > 1) ? 1 : 0;
+      int cidx = GetCoeffGreater1Ctx(p, ctx_set, c1, cxx, cyy,
+                                     (i == 0 && is_last_subblock), src,
+                                     stride);
+      EncodeBin(e, greater1, cidx);
+      if (greater1) {
+        c1 = 0;
+        if (first_c2_idx == -1 && !(restr & R_TRANSFORM_RESIDUAL_GREATER2))
+          first_c2_idx = i;
+      } else if (0 < c1 && c1 < 3) {
+        c1 += 1;
+      }
+    }
+
+    if (first_c2_idx >= 0) {
+      int cyy = subblock_pos[first_c2_idx] >> log2size;
+      int cxx = subblock_pos[first_c2_idx] - (cyy << log2size);
+      int greater2 = (subblock_coeff[first_c2_idx] > 2) ? 1 : 0;
+      int cidx = GetCoeffGreater2Ctx(p, ctx_set, cxx, cyy,
+                                     (first_c2_idx == 0 && is_last_subblock),
+                                     src, stride);
+      EncodeBin(e, greater2, cidx);
+    }
+
+    int sign_hidden = 0;
+    if (!(restr & R_TRANSFORM_SIGN_HIDING) &&
+        last_nonzero_pos - first_nonzero_pos > kSignHidingThreshold)
+      sign_hidden = 1;
+    last_nonzero_pos = -1;
+    first_nonzero_pos = subblock_size;
+
+    if (sign_hidden)
+      EncodeBypassBins(e, coeff_signs >> 1, coeff_num_non_zero - 1);
+    else
+      EncodeBypassBins(e, coeff_signs, coeff_num_non_zero);
+
+    if (c1 == 0 || coeff_num_non_zero > max_num_c1_flags) {
+      int first_coeff_greater2 =
+          (restr & R_TRANSFORM_RESIDUAL_GREATER2) ? 0 : 1;
+      int golomb_rice_k = 0;
+      for (int i = 0; i < coeff_num_non_zero; i++) {
+        int cyy = subblock_pos[i] >> log2size;
+        int cxx = subblock_pos[i] - (cyy << log2size);
+        int base_level =
+            (i < max_num_c1_flags) ? (2 + first_coeff_greater2) : 1;
+        if (subblock_coeff[i] >= base_level) {
+          if (!(restr & R_EXT2_CABAC_ALT_RESIDUAL_CTX))
+            golomb_rice_k = GetCoeffGolombRiceK(cxx, cyy, width, height, src,
+                                                stride);
+          WriteCoeffRemainExpGolomb(e, restr, subblock_coeff[i] - base_level,
+                                    golomb_rice_k);
+          if (subblock_coeff[i] > 3 * (1 << golomb_rice_k) &&
+              !(restr & R_TRANSFORM_ADAPTIVE_EXP_GOLOMB))
+            golomb_rice_k = golomb_rice_k + 1 < 4 ? golomb_rice_k + 1 : 4;
+        }
+        if (subblock_coeff[i] >= 2) first_coeff_greater2 = 0;
+      }
+    }
+
+    total_num_sig_coeff += coeff_num_non_zero;
+    coeff_num_non_zero = 0;
+    coeff_signs = 0;
+  }
+  return total_num_sig_coeff;
+}
+
+// ---- RDO quantization (codec/rdo_quant.py, ref: rdo_quant.cc:203-953) ----
+
+static const int64_t kI64Max = 0x7FFFFFFFFFFFFFFFll;
+static const int kLambdaPrecision = 16;
+static const int kQuantShift = 14;
+static const int kIQuantShift = 6;
+static const int kMaxTrDynamicRange = 15;
+
+struct RdoCodeState {
+  int ctx_set = 0;
+  int c1 = 1;
+  int c1_idx = 0;
+  int c2_idx = 0;
+  int golomb_rice_k = 0;
+};
+
+static inline int64_t BitCost(int64_t bits, int64_t lambda_fp) {
+  return (bits * lambda_fp) >> kLambdaPrecision;
+}
+
+static inline int64_t EBits(int state, int binval) {
+  return kEntropyBits[state ^ binval];
+}
+
+// rdo_quant.py _abs_level_bits
+static int64_t AbsLevelBits(uint64_t restr, int64_t quant_level, int c1_state,
+                            int c2_state, const RdoCodeState& cs) {
+  int base_level = (cs.c1_idx < kMaxNumC1Flags)
+                       ? (2 + ((cs.c2_idx < kMaxNumC2Flags) ? 1 : 0))
+                       : 1;
+  int threshold = !(restr & R_EXT2_CABAC_ALT_RESIDUAL_CTX)
+                      ? kGolombRiceRangeExt[cs.golomb_rice_k]
+                      : kCoeffRemainBinReduction;
+  int64_t bits_sum = kEntropyBypassBits;
+  int grk = cs.golomb_rice_k;
+  if (quant_level >= base_level) {
+    int64_t code_number = quant_level - base_level;
+    if (code_number < ((int64_t)threshold << grk)) {
+      int64_t length = code_number >> grk;
+      bits_sum += (length + 1 + grk) * kEntropyBypassBits;
+    } else {
+      int length = grk;
+      code_number -= (int64_t)threshold << grk;
+      while (code_number >= (1ll << length)) {
+        code_number -= 1ll << length;
+        length += 1;
+      }
+      int64_t num_bins = length + threshold + length + 1 - grk;
+      bits_sum += num_bins * kEntropyBypassBits;
+    }
+    if (cs.c1_idx < kMaxNumC1Flags) {
+      bits_sum += EBits(c1_state, 1);
+      if (cs.c2_idx < kMaxNumC2Flags) bits_sum += EBits(c2_state, 1);
+    }
+  } else if (quant_level == 1) {
+    bits_sum += EBits(c1_state, 0);
+  } else if (quant_level == 2) {
+    bits_sum += EBits(c1_state, 1);
+    bits_sum += EBits(c2_state, 0);
+  } else {
+    return 0;
+  }
+  return bits_sum;
+}
+
+// rdo_quant.py _update_code_state
+static void UpdateCodeState(int64_t quant_level, RdoCodeState* cs) {
+  int base_level = (cs->c1_idx < kMaxNumC1Flags)
+                       ? (2 + ((cs->c2_idx < kMaxNumC2Flags) ? 1 : 0))
+                       : 1;
+  if (quant_level >= 1) cs->c1_idx += 1;
+  if (quant_level >= 2) {
+    cs->c2_idx += 1;
+    cs->c1 = 0;
+  } else if (quant_level >= 1 && 0 < cs->c1 && cs->c1 < 3) {
+    cs->c1 += 1;
+  }
+  if (quant_level >= base_level) {
+    if (quant_level > 3ll * (1 << cs->golomb_rice_k))
+      cs->golomb_rice_k =
+          (cs->golomb_rice_k + 1 < 4) ? cs->golomb_rice_k + 1 : 4;
+  }
+}
+
+// rdo_quant.py _last_pos_bits (counting only; no ctx update)
+static int64_t LastPosBits(const CoeffCtxParams& p, const uint8_t* ctx,
+                           int last_pos_x, int last_pos_y) {
+  int width = p.width, height = p.height;
+  int64_t bits = 0;
+  if (p.scan_order == kVertical) {
+    int t = last_pos_x; last_pos_x = last_pos_y; last_pos_y = t;
+    t = width; width = height; height = t;
+  }
+  int group_idx_x = kLastPosGroupIdx[last_pos_x];
+  int group_idx_y = kLastPosGroupIdx[last_pos_y];
+  for (int i = 0; i < group_idx_x; i++)
+    bits += EBits(ctx[GetCoeffLastPosCtx(p, width, height, i, 1)], 1);
+  if (group_idx_x < kLastPosGroupIdx[width - 1])
+    bits +=
+        EBits(ctx[GetCoeffLastPosCtx(p, width, height, group_idx_x, 1)], 0);
+  for (int i = 0; i < group_idx_y; i++)
+    bits += EBits(ctx[GetCoeffLastPosCtx(p, width, height, i, 0)], 1);
+  if (group_idx_y < kLastPosGroupIdx[height - 1])
+    bits +=
+        EBits(ctx[GetCoeffLastPosCtx(p, width, height, group_idx_y, 0)], 0);
+  if (group_idx_x > 3)
+    bits += (int64_t)((group_idx_x - 2) >> 1) * kEntropyBypassBits;
+  if (group_idx_y > 3)
+    bits += (int64_t)((group_idx_y - 2) >> 1) * kEntropyBypassBits;
+  return bits;
+}
+
+XVCN_API int xvcn_quant_rdo(
+    const uint8_t* ctx, const int32_t* offsets, uint64_t restr,
+    int width, int height, int subblock_shift, int is_luma, int scan_order,
+    int bitdepth, int qp_per, int fwd_scale_base, int64_t inv_scale_q,
+    int64_t lambda_fp, int cbf_ctx_idx, int64_t rd_factor,
+    const int32_t* src, int32_t* out, int stride) {
+  CoeffCtxParams p;
+  p.offsets = offsets; p.restr = restr; p.is_luma = is_luma;
+  p.scan_order = scan_order; p.width = width; p.height = height;
+  p.width_log2 = size_to_log2(width);
+  p.height_log2 = size_to_log2(height);
+  int width_log2 = p.width_log2, height_log2 = p.height_log2;
+  int subblock_width = width >> subblock_shift;
+  int subblock_height = height >> subblock_shift;
+  int subblock_size = 1 << (2 * subblock_shift);
+  int subblock_mask = (1 << subblock_shift) - 1;
+  int transform_shift =
+      kMaxTrDynamicRange - bitdepth - ((width_log2 + height_log2) >> 1);
+  int size_rounding_bias = ((width_log2 + height_log2) % 2) ? 1 : 0;
+  int shift = kQuantShift + qp_per + transform_shift;
+  int size_bias_shift = size_rounding_bias ? 7 : 0;
+  int64_t size_bias_offset =
+      size_rounding_bias ? (1ll << (size_bias_shift - 1)) : 0;
+  int64_t scale = (int64_t)fwd_scale_base * (size_rounding_bias ? 181 : 1);
+  int cost_scale = kFracBitsPrecision - 2 * transform_shift -
+                   2 * (bitdepth - 8) + 2 * size_rounding_bias;
+  int fwd_shift = shift + size_bias_shift;
+  int64_t fwd_offset = 1ll << (fwd_shift - 1);
+  int inv_shift =
+      kIQuantShift - transform_shift + (size_rounding_bias ? 8 : 0);
+  int64_t inv_scale = inv_scale_q * (size_rounding_bias ? 181 : 1);
+
+  int sub_scan[1024];
+  DeriveSubblockScan(scan_order, subblock_width, subblock_height, sub_scan);
+  const int* scan_table = (subblock_shift == 1)
+                              ? kScanCoeff2x2[scan_order]
+                              : kScanCoeff4x4[scan_order];
+  int nbr_subblocks = subblock_width * subblock_height;
+
+  uint8_t subblock_csbf[1024];
+  int64_t csbf_bits_to_zero[1024];
+  memset(subblock_csbf, 0, nbr_subblocks);
+  memset(csbf_bits_to_zero, 0, nbr_subblocks * sizeof(int64_t));
+  int n = width * height;
+  static thread_local int64_t err_dist[4096];
+  static thread_local int64_t sig_rate[4096];
+  static thread_local int64_t rate_up[4096];
+  static thread_local int64_t rate_down[4096];
+  static thread_local int64_t coeff_cost_to_zero[4096];
+  static thread_local int64_t coeff_sig_bits[4096];
+  memset(err_dist, 0, n * sizeof(int64_t));
+  memset(sig_rate, 0, n * sizeof(int64_t));
+  memset(rate_up, 0, n * sizeof(int64_t));
+  memset(rate_down, 0, n * sizeof(int64_t));
+  memset(coeff_cost_to_zero, 0, n * sizeof(int64_t));
+  memset(coeff_sig_bits, 0, n * sizeof(int64_t));
+
+  RdoCodeState code_state;
+  int last_pos_index = -1;
+  int64_t comp_zero_dist = 0;
+  int64_t comp_code_cost = 0;
+
+  for (int si = nbr_subblocks - 1; si >= 0; si--) {
+    int sscan = sub_scan[si];
+    int ssy = sscan / subblock_width;
+    int ssx = sscan - ssy * subblock_width;
+    int spx = ssx << subblock_shift, spy = ssy << subblock_shift;
+    int sub_index = si << (2 * subblock_shift);
+    int last_c1 = code_state.c1;
+    code_state = RdoCodeState();
+    code_state.ctx_set = (sub_index > 0 && is_luma) ? 2 : 0;
+    if (last_c1 == 0) code_state.ctx_set += 1;
+
+    int64_t subblock_zero_dist = 0;
+    int64_t subblock_code_cost = 0;
+    int pattern_sig_ctx;
+    int csbf_ctx = GetSubblockCsbfCtx(p, subblock_csbf, ssx, ssy,
+                                      subblock_width, subblock_height,
+                                      &pattern_sig_ctx);
+    int num_non_zero = 0;
+
+    for (int off = subblock_size - 1; off >= 0; off--) {
+      int so = scan_table[off];
+      int scan_x = spx + (so & subblock_mask);
+      int scan_y = spy + (so >> subblock_shift);
+      int index = sub_index + off;
+      int64_t abs_coeff = src[scan_y * stride + scan_x];
+      if (abs_coeff < 0) abs_coeff = -abs_coeff;
+      int64_t coeff_zero_cost = (abs_coeff * abs_coeff) << cost_scale;
+      subblock_zero_dist += coeff_zero_cost;
+      int64_t quant_coeff = (abs_coeff * scale + fwd_offset) >> fwd_shift;
+      if (quant_coeff && last_pos_index == -1) {
+        last_pos_index = index;
+      } else if (last_pos_index == -1) {
+        out[scan_y * stride + scan_x] = 0;
+        subblock_code_cost += coeff_zero_cost;
+        continue;
+      }
+
+      int sig_ctx = GetCoeffSigCtx(p, pattern_sig_ctx, scan_x, scan_y, out,
+                                   stride);
+      int c1_ctx = GetCoeffGreater1Ctx(p, code_state.ctx_set, code_state.c1,
+                                       scan_x, scan_y,
+                                       index == last_pos_index, out, stride);
+      int c2_ctx = GetCoeffGreater2Ctx(p, code_state.ctx_set, scan_x, scan_y,
+                                       index == last_pos_index, out, stride);
+      if (!(restr & R_EXT2_CABAC_ALT_RESIDUAL_CTX))
+        code_state.golomb_rice_k =
+            GetCoeffGolombRiceK(scan_x, scan_y, width, height, out, stride);
+      int64_t sig0_bits = EBits(ctx[sig_ctx], 0);
+      int64_t sig1_bits = EBits(ctx[sig_ctx], 1);
+      if (last_pos_index == index ||
+          (sub_index > 0 && off == 0 && num_non_zero == 0))
+        sig1_bits = 0;
+
+      int64_t best_cost = kI64Max;
+      int64_t best_cost_sig = 0;
+      int64_t best_level = quant_coeff;
+      if (quant_coeff > 0) {
+        best_cost_sig = sig1_bits;
+        // _quant_coeff_rdo
+        int c1_state = ctx[c1_ctx], c2_state = ctx[c2_ctx];
+        int64_t bl = quant_coeff, bc = kI64Max;
+        for (int step = 0; step < 2; step++) {
+          int64_t level = quant_coeff - 1 + step;
+          if (step == 0 && quant_coeff <= 1) continue;
+          int64_t bits = sig1_bits + AbsLevelBits(restr, level, c1_state,
+                                                  c2_state, code_state);
+          int64_t dequant;
+          if (inv_shift > 0)
+            dequant = (level * inv_scale + (1ll << (inv_shift - 1))) >>
+                      inv_shift;
+          else
+            dequant = (level * inv_scale) << (-inv_shift);
+          if (dequant < -32768) dequant = -32768;
+          if (dequant > 32767) dequant = 32767;
+          int64_t err = abs_coeff - dequant;
+          int64_t cost = ((err * err) << cost_scale) +
+                         BitCost(bits, lambda_fp);
+          if (step == 0 || cost <= bc) {
+            bc = cost;
+            bl = level;
+          }
+        }
+        best_level = bl;
+        best_cost = bc;
+      }
+      if (last_pos_index != index && quant_coeff < 3) {
+        int64_t cost = coeff_zero_cost + BitCost(sig0_bits, lambda_fp);
+        if (cost <= best_cost) {
+          best_cost = cost;
+          best_cost_sig = sig0_bits;
+          best_level = 0;
+        }
+      }
+      out[scan_y * stride + scan_x] = (int32_t)best_level;
+      coeff_cost_to_zero[index] = coeff_zero_cost - best_cost;
+      coeff_sig_bits[index] = best_cost_sig;
+      subblock_code_cost += best_cost;
+      int64_t orig_scaled =
+          (abs_coeff * scale + size_bias_offset) >> size_bias_shift;
+      int64_t quant_err = orig_scaled - (best_level << shift);
+      err_dist[index] = (int16_t)(quant_err >> (shift - 8));
+      sig_rate[index] =
+          (last_pos_index != index) ? (sig1_bits - sig0_bits) : 0;
+      if (best_level) {
+        subblock_csbf[sscan] = 1;
+        num_non_zero += 1;
+        int c1_state = ctx[c1_ctx], c2_state = ctx[c2_ctx];
+        int64_t lvl_rate =
+            AbsLevelBits(restr, best_level, c1_state, c2_state, code_state);
+        rate_up[index] = -lvl_rate + AbsLevelBits(restr, best_level + 1,
+                                                  c1_state, c2_state,
+                                                  code_state);
+        rate_down[index] = -lvl_rate + AbsLevelBits(restr, best_level - 1,
+                                                    c1_state, c2_state,
+                                                    code_state);
+      } else {
+        rate_up[index] = EBits(ctx[c1_ctx], 0);
+      }
+      UpdateCodeState(best_level, &code_state);
+    }
+
+    // _eval_zero_subblock
+    {
+      int64_t csbf_bits = 0;
+      bool zeroed = false;
+      if (last_pos_index >= 0 && sub_index != 0 &&
+          sub_index + subblock_size <= last_pos_index) {
+        int csbf_state = ctx[csbf_ctx];
+        int64_t csbf_zero_cost = EBits(csbf_state, 0);
+        int64_t csbf_code_bits = EBits(csbf_state, 1);
+        int64_t subblock_zero_cost =
+            subblock_zero_dist + BitCost(csbf_zero_cost, lambda_fp);
+        if (subblock_csbf[sscan]) {
+          int64_t cost_cost =
+              subblock_code_cost + BitCost(csbf_code_bits, lambda_fp);
+          if (subblock_zero_cost < cost_cost) {
+            zeroed = true;
+            csbf_bits = csbf_zero_cost;
+            subblock_code_cost = subblock_zero_cost;
+          } else {
+            csbf_bits = csbf_code_bits;
+            subblock_code_cost = cost_cost;
+          }
+        } else {
+          csbf_bits = csbf_zero_cost;
+          subblock_code_cost = subblock_zero_cost;
+        }
+      }
+      csbf_bits_to_zero[sscan] = csbf_bits;
+      if (zeroed) {
+        subblock_csbf[sscan] = 0;
+        for (int off = 0; off < subblock_size; off++) {
+          int so = scan_table[off];
+          out[(spy + (so >> subblock_shift)) * stride + spx +
+              (so & subblock_mask)] = 0;
+          coeff_cost_to_zero[sub_index + off] = 0;
+        }
+      }
+    }
+    comp_code_cost += subblock_code_cost;
+    comp_zero_dist += subblock_zero_dist;
+  }
+
+  if (last_pos_index < 0) return 0;
+
+  // _eval_last_pos
+  {
+    int cbf_state = ctx[cbf_ctx_idx];
+    comp_code_cost += BitCost(EBits(cbf_state, 1), lambda_fp);
+    int start_last_index = last_pos_index % subblock_size;
+    int64_t best_cost = kI64Max;
+    int best_last_pos_plus1 = 0;
+    bool stop_search = false;
+    for (int si = nbr_subblocks - 1; si >= 0; si--) {
+      int sub_index = si << (2 * subblock_shift);
+      if (sub_index > last_pos_index) continue;
+      int sscan = sub_scan[si];
+      comp_code_cost -= BitCost(csbf_bits_to_zero[sscan], lambda_fp);
+      if (!subblock_csbf[sscan]) continue;
+      int ssy = sscan / subblock_width;
+      int ssx = sscan - ssy * subblock_width;
+      int spx = ssx << subblock_shift, spy = ssy << subblock_shift;
+      for (int off = start_last_index; off >= 0; off--) {
+        int so = scan_table[off];
+        int scan_x = spx + (so & subblock_mask);
+        int scan_y = spy + (so >> subblock_shift);
+        int index = sub_index + off;
+        int coeff_val = out[scan_y * stride + scan_x];
+        if (!coeff_val) {
+          comp_code_cost += coeff_cost_to_zero[index];
+          continue;
+        }
+        int64_t last_pos_bits = LastPosBits(p, ctx, scan_x, scan_y);
+        int64_t implicit_sig = coeff_sig_bits[index];
+        int64_t cost = comp_code_cost + BitCost(last_pos_bits, lambda_fp) -
+                       BitCost(implicit_sig, lambda_fp);
+        if (cost < best_cost) {
+          best_cost = cost;
+          best_last_pos_plus1 = index + 1;
+        }
+        if (coeff_val > 1) {
+          stop_search = true;
+          break;
+        }
+        comp_code_cost += coeff_cost_to_zero[index];
+      }
+      if (stop_search) break;
+      start_last_index = subblock_size - 1;
+    }
+    int64_t comp_zero_cost =
+        comp_zero_dist + BitCost(EBits(cbf_state, 0), lambda_fp);
+    if (comp_zero_cost < best_cost) {
+      for (int y = 0; y < height; y++)
+        memset(out + y * stride, 0, width * sizeof(int32_t));
+      return 0;
+    }
+    last_pos_index = best_last_pos_plus1;
+  }
+  if (last_pos_index < 0) {
+    for (int y = 0; y < height; y++)
+      memset(out + y * stride, 0, width * sizeof(int32_t));
+    return 0;
+  }
+
+  int last_subblock_index = last_pos_index - (last_pos_index &
+                                              (subblock_size - 1));
+  for (int si = nbr_subblocks - 1; si >= 0; si--) {
+    int sub_index = si << (2 * subblock_shift);
+    if (sub_index < last_subblock_index) break;
+    int sscan = sub_scan[si];
+    int ssy = sscan / subblock_width;
+    int ssx = sscan - ssy * subblock_width;
+    int spx = ssx << subblock_shift, spy = ssy << subblock_shift;
+    int last_pos_index_end = 0;
+    if (sub_index == last_subblock_index)
+      last_pos_index_end = last_pos_index % subblock_size;
+    for (int off = subblock_size - 1; off >= last_pos_index_end; off--) {
+      int so = scan_table[off];
+      out[(spy + (so >> subblock_shift)) * stride + spx +
+          (so & subblock_mask)] = 0;
+    }
+  }
+
+  int num_non_zero = 0;
+  for (int y = 0; y < height; y++)
+    for (int x = 0; x < width; x++) {
+      if (out[y * stride + x]) num_non_zero += 1;
+      if (src[y * stride + x] < 0) out[y * stride + x] = -out[y * stride + x];
+    }
+
+  if ((restr & R_TRANSFORM_SIGN_HIDING) || num_non_zero <= 1 ||
+      subblock_shift <= 1)
+    return num_non_zero;
+
+  // _sign_hide_rdo
+  num_non_zero = 0;
+  int is_last_subblock = -1;
+  for (int si = nbr_subblocks - 1; si >= 0; si--) {
+    int sscan = sub_scan[si];
+    int ssy = sscan / subblock_width;
+    int ssx = sscan - ssy * subblock_width;
+    int spx = ssx << subblock_shift, spy = ssy << subblock_shift;
+    int sub_index = si << (2 * subblock_shift);
+
+    int first_in_subblock = subblock_size;
+    int last_in_subblock = -1;
+    int64_t subblock_sum = 0;
+    for (int off = subblock_size - 1; off >= 0; off--) {
+      int so = scan_table[off];
+      int v = out[(spy + (so >> subblock_shift)) * stride + spx +
+                  (so & subblock_mask)];
+      if (v) {
+        if (off < first_in_subblock) first_in_subblock = off;
+        if (off > last_in_subblock) last_in_subblock = off;
+        subblock_sum += v;
+        num_non_zero += 1;
+      }
+    }
+    if (last_in_subblock >= 0 && is_last_subblock == -1)
+      is_last_subblock = 1;
+    if (last_in_subblock - first_in_subblock < 4) {
+      if (is_last_subblock == 1) is_last_subblock = 0;
+      continue;
+    }
+    int so_f = scan_table[first_in_subblock];
+    int first_sign = (out[(spy + (so_f >> subblock_shift)) * stride + spx +
+                          (so_f & subblock_mask)] > 0)
+                         ? 0
+                         : 1;
+    if (first_sign == (subblock_sum & 1)) {
+      if (is_last_subblock == 1) is_last_subblock = 0;
+      continue;
+    }
+    int start_off =
+        (is_last_subblock == 1) ? last_in_subblock : subblock_size - 1;
+    int64_t best_cost = kI64Max;
+    int best_level_delta = 0;
+    int best_y = -1, best_x = -1;
+    for (int off = start_off; off >= 0; off--) {
+      int so = scan_table[off];
+      int yy = spy + (so >> subblock_shift);
+      int xx = spx + (so & subblock_mask);
+      int index = sub_index + off;
+      int coeff_lvl = out[yy * stride + xx];
+      int64_t cost;
+      int level_delta;
+      if (coeff_lvl != 0) {
+        int64_t cost_inc = rd_factor * (-err_dist[index]) + rate_up[index];
+        int64_t cost_dec =
+            rd_factor * err_dist[index] + rate_down[index] -
+            ((abs(coeff_lvl) == 1) ? sig_rate[index] : 0);
+        if (is_last_subblock == 1 && off == last_in_subblock &&
+            abs(coeff_lvl) == 1)
+          cost_dec -= 4ll * kEntropyBypassBits;
+        if (cost_inc < cost_dec) {
+          cost = cost_inc;
+          level_delta = 1;
+        } else {
+          level_delta = -1;
+          if (off == first_in_subblock && abs(coeff_lvl) == 1)
+            cost = (1ll << 31) - 1;
+          else
+            cost = cost_dec;
+        }
+      } else {
+        int64_t ed = err_dist[index];
+        cost = rd_factor * -(ed < 0 ? -ed : ed) + rate_up[index] +
+               sig_rate[index] + kEntropyBypassBits;
+        level_delta = 1;
+        if (off < first_in_subblock) {
+          int sign = (src[yy * stride + xx] >= 0) ? 0 : 1;
+          if (sign != first_sign) cost = (1ll << 31) - 1;
+        }
+      }
+      if (cost < best_cost) {
+        best_cost = cost;
+        best_level_delta = level_delta;
+        best_y = yy;
+        best_x = xx;
+      }
+    }
+    int cur = out[best_y * stride + best_x];
+    if (cur == 32767 || cur == -32768) best_level_delta = -1;
+    if (!cur) num_non_zero += 1;
+    if (src[best_y * stride + best_x] >= 0)
+      out[best_y * stride + best_x] += best_level_delta;
+    else
+      out[best_y * stride + best_x] -= best_level_delta;
+    if (!out[best_y * stride + best_x]) num_non_zero -= 1;
+    if (is_last_subblock == 1) is_last_subblock = 0;
+  }
+  return num_non_zero;
+}
+
+XVCN_API int xvcn_version() { return 1; }

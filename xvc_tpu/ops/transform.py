@@ -20,8 +20,9 @@ import numpy as np
 
 from .. import constants as k
 
-_TABLES = np.load(os.path.join(os.path.dirname(__file__),
-                               "transform_tables.npz"))
+with np.load(os.path.join(os.path.dirname(__file__),
+                          "transform_tables.npz")) as _npz:
+    _TABLES = {name: _npz[name].astype(np.int64) for name in _npz.files}
 
 _FAMILY = {
     k.TransformType.DEFAULT: "dct2",
@@ -45,13 +46,13 @@ def get_matrix(tx_type, size, high_prec=True):
     fam = _FAMILY[tx_type]
     if fam == "dct2":
         if not high_prec and size in (4, 8, 16, 32):
-            return _TABLES[f"dct2lo_{size}"].astype(np.int64), 0
+            return _TABLES[f"dct2lo_{size}"], 0
         # 2 and 64 only exist in high precision
         adjust = _HIGH_PREC_SHIFT if (not high_prec and
                                       size in (2, 64)) else 0
-        return _TABLES[f"dct2_{size}"].astype(np.int64), adjust
+        return _TABLES[f"dct2_{size}"], adjust
     adjust = _HIGH_PREC_SHIFT if not high_prec else 0
-    return _TABLES[f"{fam}_{size}"].astype(np.int64), adjust
+    return _TABLES[f"{fam}_{size}"], adjust
 
 
 def _clip16(x):

@@ -10,6 +10,7 @@ from .. import constants as k
 from .. import scan
 from ..cabac.contexts import OFFSETS, CabacContexts
 from ..cabac.entropy_decoder import EntropyDecoder
+from .. import native as _native
 
 
 class SyntaxReader:
@@ -17,9 +18,17 @@ class SyntaxReader:
         self.restr = restrictions
         self.ctx = CabacContexts(restrictions)
         self.ctx.reset_states(qp.get_qp_raw(0), pic_type)
-        self.dec = EntropyDecoder(bit_reader, self.ctx.state,
-                                  ctx_update=not
-                                  restrictions.disable_cabac_ctx_update)
+        if _native.available():
+            from ..native.engines import NativeEntropyDecoder
+            self.dec = NativeEntropyDecoder(
+                bit_reader, self.ctx.state,
+                ctx_update=not restrictions.disable_cabac_ctx_update)
+            self._restr_mask = _native.restr_bits(restrictions)
+        else:
+            self.dec = EntropyDecoder(bit_reader, self.ctx.state,
+                                      ctx_update=not
+                                      restrictions.disable_cabac_ctx_update)
+            self._restr_mask = None
         self.dec.start()
 
     def finish(self):
@@ -285,10 +294,16 @@ class SyntaxReader:
     def read_coefficients(self, cu, comp, dst_coeff):
         """dst_coeff: (h, w) int32 array, filled in place; returns #sig."""
         w, h = cu.size(comp)
-        if w == 2 or h == 2:
-            return self._read_coeff_subblock(cu, comp, dst_coeff, 1)
+        subblock_shift = 1 if (w == 2 or h == 2) else k.SUBBLOCK_SHIFT
+        if self._restr_mask is not None:
+            intra_mode = cu.get_intra_mode(comp) if cu.is_intra() else 0
+            scan_order = scan.determine_scan_order(cu, comp == 0, intra_mode,
+                                                   self.restr)
+            return self.dec.read_coefficients_native(
+                self._restr_mask, w, h, subblock_shift, comp == 0,
+                scan_order, dst_coeff)
         return self._read_coeff_subblock(cu, comp, dst_coeff,
-                                         k.SUBBLOCK_SHIFT)
+                                         subblock_shift)
 
     def _read_coeff_subblock(self, cu, comp, dst, subblock_shift):
         restr = self.restr

@@ -10,6 +10,7 @@ from .. import constants as k
 from .. import scan
 from ..cabac.contexts import OFFSETS, CabacContexts
 from ..cabac.entropy_encoder import EntropyEncoder
+from .. import native as _native
 
 
 class SyntaxWriter:
@@ -19,9 +20,18 @@ class SyntaxWriter:
         if _clone_from is None:
             self.ctx = CabacContexts(restrictions)
             self.ctx.reset_states(qp.get_qp_raw(0), pic_type)
-            self.enc = EntropyEncoder(bit_writer, self.ctx.state,
-                                      ctx_update=not
-                                      restrictions.disable_cabac_ctx_update)
+            if _native.available() and bit_writer is not None:
+                from ..native.engines import NativeEntropyEncoder
+                self.enc = NativeEntropyEncoder(
+                    bit_writer, self.ctx.state,
+                    ctx_update=not restrictions.disable_cabac_ctx_update)
+                self._restr_mask = _native.restr_bits(restrictions)
+            else:
+                self.enc = EntropyEncoder(
+                    bit_writer, self.ctx.state,
+                    ctx_update=not restrictions.disable_cabac_ctx_update)
+                self._restr_mask = _native.restr_bits(restrictions) \
+                    if _native.available() else None
 
     @classmethod
     def rdo_clone(cls, writer, bits_written=None, frac_bits=None):
@@ -29,6 +39,7 @@ class SyntaxWriter:
         (ref: syntax_writer.cc:851-871)."""
         w = cls.__new__(cls)
         w.restr = writer.restr
+        w._restr_mask = writer._restr_mask
         w.ctx = CabacContexts(writer.restr)
         w.ctx.state = writer.ctx.state.copy()
         if bits_written is None:
@@ -329,10 +340,22 @@ class SyntaxWriter:
     # ---- residual coding ----
     def write_coefficients(self, cu, comp, coeff):
         w, h = cu.size(comp)
-        if w == 2 or h == 2:
-            return self._write_coeff_subblock(cu, comp, coeff, 1)
+        subblock_shift = 1 if (w == 2 or h == 2) else k.SUBBLOCK_SHIFT
+        if self._restr_mask is not None:
+            intra_mode = cu.get_intra_mode(comp) if cu.is_intra() else 0
+            scan_order = scan.determine_scan_order(cu, comp == 0, intra_mode,
+                                                   self.restr)
+            from ..native.engines import (NativeEntropyEncoder,
+                                          count_write_coefficients)
+            if isinstance(self.enc, NativeEntropyEncoder):
+                return self.enc.write_coefficients_native(
+                    self._restr_mask, w, h, subblock_shift, comp == 0,
+                    scan_order, coeff)
+            return count_write_coefficients(
+                self.enc, self._restr_mask, w, h, subblock_shift, comp == 0,
+                scan_order, coeff)
         return self._write_coeff_subblock(cu, comp, coeff,
-                                          k.SUBBLOCK_SHIFT)
+                                          subblock_shift)
 
     def _write_coeff_subblock(self, cu, comp, src, subblock_shift):
         restr = self.restr
