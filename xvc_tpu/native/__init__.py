@@ -87,8 +87,8 @@ def _build() -> str:
 
 def _bind(lib):
     c = ctypes
-    u8p = c.POINTER(c.c_uint8)
-    i32p = c.POINTER(c.c_int32)
+    u8p = c.c_void_p
+    i32p = c.c_void_p
     # decoder
     lib.xvcn_dec_create.restype = c.c_void_p
     lib.xvcn_dec_create.argtypes = [c.c_char_p, c.c_int64, c.c_int64, c.c_int]
@@ -154,9 +154,9 @@ def available() -> bool:
     return LIB is not None
 
 
-def ctx_ptr(state: np.ndarray):
-    return state.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+def ctx_ptr(state: np.ndarray) -> int:
+    return state.ctypes.data
 
 
-def i32_ptr(arr: np.ndarray):
-    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+def i32_ptr(arr: np.ndarray) -> int:
+    return arr.ctypes.data
