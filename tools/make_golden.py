@@ -75,6 +75,79 @@ def run(name, width, height, frames, qp=32, bitdepth=8, extra_enc=None):
                 f"qp={qp}\nbitdepth={bitdepth}\n")
 
 
+def make_output_conversion_vectors():
+    """Reference xvcdec -output-* goldens over ai64x48 (simd off for the
+    dither vector: the reference SSE2 dither kernel uses lane-wise error
+    accumulators and diverges from its own scalar code)."""
+    cases = [
+        ("down32x24", ["-output-width", "32", "-output-height", "24"]),
+        ("up128x96", ["-output-width", "128", "-output-height", "96"]),
+        ("chroma444", ["-output-chroma-format", "3"]),
+        ("mono", ["-output-chroma-format", "0"]),
+        ("bd10", ["-output-bitdepth", "10"]),
+        ("down44x36", ["-output-width", "44", "-output-height", "36"]),
+    ]
+    for tag, args in cases:
+        subprocess.run([REF_DEC, "-bitstream-file",
+                        os.path.join(OUT, "ai64x48.xvc"), "-output-file",
+                        os.path.join(OUT, f"ai64x48_out_{tag}.yuv")] + args,
+                       check=True, capture_output=True)
+    subprocess.run([REF_DEC, "-bitstream-file",
+                    os.path.join(OUT, "ai64x48b10.xvc"), "-output-file",
+                    os.path.join(OUT, "ai64x48b10_out_dither8.yuv"),
+                    "-output-bitdepth", "8", "-dither", "1",
+                    "-simd-mask", "0"], check=True, capture_output=True)
+
+
+def make_scalability_vector():
+    """Spliced two-resolution open-gop stream + reference decode
+    (mirrors test/xvc_test/decoder_scalability_test.cc:84-117)."""
+    def enc(name, w, h, frames):
+        yuv = os.path.join(OUT, f"{name}_in.yuv")
+        bs = os.path.join(OUT, f"{name}.xvc")
+        with open(yuv, "wb") as f:
+            f.write(synth_yuv420(w, h, frames, 8))
+        subprocess.run([REF_ENC, "-input-file", yuv, "-output-file", bs,
+                        "-input-width", str(w), "-input-height", str(h),
+                        "-qp", "32", "-checksum-mode", "1",
+                        "-sub-gop-length", "4", "-max-keypic-distance", "8",
+                        "-num-ref-pics", "2"], check=True,
+                       capture_output=True)
+        return bs
+
+    def read_nals(path):
+        data = open(path, "rb").read()
+        nals, off = [], 0
+        while off < len(data):
+            ln = int.from_bytes(data[off:off + 4], "little")
+            off += 4
+            nals.append(data[off:off + ln])
+            off += ln
+        return nals
+
+    def is_seg_header(nal):
+        return ((nal[0] >> 1) & 31) == 16  # kSegmentHeader
+
+    bs1 = enc("_tmp_scal16", 16, 16, 17)
+    bs2 = enc("_tmp_scal24", 24, 24, 17)
+    n1, n2 = read_nals(bs1), read_nals(bs2)
+    i1 = next(i for i in range(1, len(n1)) if is_seg_header(n1[i]))
+    i2 = next(i for i in range(1, len(n2)) if is_seg_header(n2[i]))
+    merged = n1[:i1] + n2[i2:]
+    with open(os.path.join(OUT, "scal16to24.xvc"), "wb") as f:
+        for nal in merged:
+            f.write(len(nal).to_bytes(4, "little"))
+            f.write(nal)
+    subprocess.run([REF_DEC, "-bitstream-file",
+                    os.path.join(OUT, "scal16to24.xvc"), "-output-file",
+                    os.path.join(OUT, "scal16to24_dec.yuv"),
+                    "-simd-mask", "0"], check=True, capture_output=True)
+    for p in (bs1, bs2, os.path.join(OUT, "_tmp_scal16_in.yuv"),
+              os.path.join(OUT, "_tmp_scal24_in.yuv")):
+        if os.path.exists(p):
+            os.remove(p)
+
+
 def main():
     ai = ["-sub-gop-length", "1", "-num-ref-pics", "0"]
     # All-intra tiny: primary bring-up vector
@@ -97,6 +170,8 @@ def main():
     # Random-access hierarchical sub-gop
     run("ra64x48", 64, 48, 10, qp=32,
         extra_enc=["-sub-gop-length", "8", "-num-ref-pics", "2"])
+    make_output_conversion_vectors()
+    make_scalability_vector()
     print("done")
 
 

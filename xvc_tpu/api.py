@@ -154,7 +154,11 @@ class DecoderSession:
         self._dec.output_width = self.params.output_width
         self._dec.output_height = self.params.output_height
         self._dec.output_bitdepth = self.params.output_bitdepth
-        self._dec.output_chroma_format = self.params.output_chroma_format
+        ocf = self.params.output_chroma_format
+        if ocf is None or int(ocf) < 0:
+            ocf = k.ChromaFormat.UNDEFINED
+        self._dec.output_chroma_format = ocf
+        self._dec.output_color_matrix = self.params.output_color_matrix
         self._dec.dither = self.params.dither != 0
         self._pending = []
 

@@ -59,6 +59,8 @@ class Decoder:
         self.output_height = 0
         self.output_bitdepth = 0
         self.output_chroma_format = k.ChromaFormat.UNDEFINED
+        self.output_color_matrix = k.ColorMatrix.UNDEFINED
+        self.dither = False
 
     # ---- public API ----
     def decode_nal(self, nal, user_data=0):
@@ -165,6 +167,8 @@ class Decoder:
             self.output_height = sh.output_height
         if self.output_chroma_format == k.ChromaFormat.UNDEFINED:
             self.output_chroma_format = sh.chroma_format
+        if self.output_color_matrix == k.ColorMatrix.UNDEFINED:
+            self.output_color_matrix = sh.color_matrix
         if self.output_bitdepth == 0:
             self.output_bitdepth = sh.internal_bitdepth
         self.max_tid = seg.get_framerate_max_tid(
@@ -237,7 +241,12 @@ class Decoder:
         for dep in deps:
             dep.ref_count += 1
         pic_dec = self._get_free_picture_decoder(segment_header)
-        output_fmt = {"bitdepth": self.output_bitdepth, "dither": False}
+        output_fmt = {"width": self.output_width,
+                      "height": self.output_height,
+                      "chroma_format": self.output_chroma_format,
+                      "color_matrix": self.output_color_matrix,
+                      "bitdepth": self.output_bitdepth,
+                      "dither": self.dither}
         pic_dec.init_pic(segment_header, pic_header, rpl, output_fmt,
                          user_data)
         if pic_header.tid == 0:

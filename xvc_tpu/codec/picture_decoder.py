@@ -11,6 +11,7 @@ from ..ops.deblock import DeblockingFilter
 from ..ops.quant import Qp
 from ..syntax.reader import SyntaxReader
 from . import checksum as cksum
+from . import output
 from .cu import PictureData, ReferencePictureLists
 from .cu_decoder import CuDecoder
 from .yuv import YuvPicture
@@ -126,9 +127,7 @@ class PictureDecoder:
                     and c != 0):
                 alt.plane_view(c)[:] = 1 << (alt.bitdepth - 1)
                 continue
-            resample.resample_plane(
-                alt.plane_view(c), alt.bitdepth,
-                self.rec_pic.plane_view(c), self.rec_pic.bitdepth)
+            resample.resample_pic_plane(alt, c, self.rec_pic)
         alt.pad_border()
         self.alt_rec_pic = alt
         return alt
@@ -203,10 +202,17 @@ class PictureDecoder:
             success = self._validate_checksum(segment, bit_reader)
         else:
             self.pic_hash = b""
-        out_fmt = self.output_format
-        self.output_pic_bytes = self.rec_pic.to_bytes(
-            out_bitdepth=out_fmt.get("bitdepth", self.rec_pic.bitdepth),
-            dither=out_fmt.get("dither", False))
+        out_fmt = dict(self.output_format)
+        if not out_fmt.get("width"):
+            out_fmt["width"] = self.rec_pic.get_display_width(0)
+        if not out_fmt.get("height"):
+            out_fmt["height"] = self.rec_pic.get_display_height(0)
+        if out_fmt.get("chroma_format",
+                       k.ChromaFormat.UNDEFINED) == k.ChromaFormat.UNDEFINED:
+            out_fmt["chroma_format"] = self.rec_pic.chroma_format
+        if not out_fmt.get("bitdepth"):
+            out_fmt["bitdepth"] = self.rec_pic.bitdepth
+        self.output_pic_bytes = output.convert_to(self.rec_pic, out_fmt)
         return success
 
     def _validate_checksum(self, segment, bit_reader):
