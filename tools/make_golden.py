@@ -148,6 +148,25 @@ def make_scalability_vector():
             os.remove(p)
 
 
+def make_restricted_mode_vectors():
+    """Reference streams for restricted modes A-D
+    (ref: restrictions.cc:340-470)."""
+    for m in (1, 2, 3, 4):
+        bs = os.path.join(OUT, f"rm{m}_64x48.xvc")
+        subprocess.run([REF_ENC, "-input-file",
+                        os.path.join(OUT, "ai64x48_in.yuv"),
+                        "-output-file", bs,
+                        "-input-width", "64", "-input-height", "48",
+                        "-input-bitdepth", "8", "-internal-bitdepth", "8",
+                        "-qp", "32", "-checksum-mode", "1",
+                        "-restricted-mode", str(m),
+                        "-sub-gop-length", "4", "-num-ref-pics", "2"],
+                       check=True, capture_output=True)
+        subprocess.run([REF_DEC, "-bitstream-file", bs, "-output-file",
+                        os.path.join(OUT, f"rm{m}_64x48_dec.yuv"),
+                        "-simd-mask", "0"], check=True, capture_output=True)
+
+
 def main():
     ai = ["-sub-gop-length", "1", "-num-ref-pics", "0"]
     # All-intra tiny: primary bring-up vector
@@ -172,6 +191,7 @@ def main():
         extra_enc=["-sub-gop-length", "8", "-num-ref-pics", "2"])
     make_output_conversion_vectors()
     make_scalability_vector()
+    make_restricted_mode_vectors()
     print("done")
 
 

@@ -85,6 +85,8 @@ class EncoderSession:
         settings = EncoderSettings()
         settings.initialize_speed(
             1 if params.speed_mode < 0 else params.speed_mode)
+        if params.restricted_mode:
+            settings.initialize_restricted(params.restricted_mode)
         if params.tune_mode:
             settings.tune(params.tune_mode)
         if params.explicit_encoder_settings:

@@ -119,6 +119,9 @@ class Encoder:
         sh.chroma_qp_offset_v = settings.chroma_qp_offset_v
         sh.adaptive_qp = settings.adaptive_qp
         restr = sh.restrictions
+        if settings.restricted_mode:
+            from ..restrictions import enable_restricted_mode
+            enable_restricted_mode(restr, settings.restricted_mode)
         if settings.fast_transform_size_64:
             restr.disable_ext_transform_size_64 = True
         if settings.fast_transform_select:

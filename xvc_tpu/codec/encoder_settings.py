@@ -17,6 +17,14 @@ class TuneMode:
     PSNR = 1
 
 
+class RestrictedModeIds:
+    UNRESTRICTED = 0
+    MODE_A = 1
+    MODE_B = 2
+    MODE_C = 3
+    MODE_D = 4
+
+
 @dataclass
 class EncoderSettings:
     # rdo behavior (compile-time in the reference)
@@ -65,6 +73,7 @@ class EncoderSettings:
     flat_lambda: int = 0
     lambda_scale_a: float = 1.0
     lambda_scale_b: float = 0.0
+    restricted_mode: int = 0
 
     def initialize_speed(self, speed_mode):
         if speed_mode == SpeedMode.PLACEBO:
@@ -104,6 +113,43 @@ class EncoderSettings:
             self.fast_inter_adaptive_fullpel_mv = 1
         else:
             raise ValueError("bad speed mode")
+
+    def initialize_restricted(self, mode):
+        """(ref: encoder_settings.cc:75-121)"""
+        self.restricted_mode = mode
+        if mode == RestrictedModeIds.MODE_C:
+            return
+        self.inter_search_range_uni_max = 256
+        self.inter_search_range_uni_min = 96
+        self.bipred_refinement_iterations = 1
+        self.always_evaluate_intra_in_inter = 0
+        self.default_num_ref_pics = 2
+        self.fast_transform_select_eval = 1
+        self.fast_intra_mode_eval_level = 2
+        self.fast_transform_size_64 = 0
+        self.fast_transform_select = 0
+        self.fast_inter_local_illumination_comp = 0
+        self.fast_inter_adaptive_fullpel_mv = 0
+        self.fast_merge_eval = 1
+        self.fast_quad_split_based_on_binary_split = 2
+        self.eval_prev_mv_search_result = 0
+        self.fast_inter_pred_bits = 1
+        self.rdo_quant_2x2 = 0
+        self.smooth_lambda_scaling = 0
+        self.adaptive_qp = 0
+        self.structural_ssd = 0
+        self.source_padding = 1
+        if mode == RestrictedModeIds.MODE_A:
+            self.max_binary_split_depth = 0
+            self.fast_intra_mode_eval_level = 1
+            self.fast_merge_eval = 0
+            self.eval_prev_mv_search_result = 1
+        elif mode == RestrictedModeIds.MODE_B:
+            self.max_binary_split_depth = 2
+            self.chroma_qp_offset_u = 1
+            self.chroma_qp_offset_v = 1
+        elif mode == RestrictedModeIds.MODE_D:
+            self.max_binary_split_depth = 3
 
     def tune(self, tune_mode):
         if tune_mode == TuneMode.PSNR:

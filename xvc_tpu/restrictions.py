@@ -147,3 +147,146 @@ def write_restrictions(bit_writer, restr: "Restrictions",
         if any_set:
             for name in group:
                 bit_writer.write_bit(1 if getattr(restr, name) else 0)
+
+
+class RestrictedMode:
+    """(ref: restrictions.h RestrictedMode)"""
+    UNRESTRICTED = 0
+    MODE_A = 1
+    MODE_B = 2
+    MODE_C = 3
+    MODE_D = 4
+
+
+_MODE_AB_FLAGS = (
+    "disable_ext_implicit_last_ctu",
+    "disable_ext_tmvp_full_resolution",
+    "disable_ext_tmvp_exclude_intra_from_ref_list",
+    "disable_ext_ref_list_l0_trim",
+    "disable_ext_intra_unrestricted_predictor",
+)
+
+_MODE_A_FLAGS = (
+    "disable_ext_sink",
+    "disable_ext_implicit_partition_type",
+    "disable_ext_cabac_alt_split_flag_ctx",
+    "disable_ext_cabac_alt_inter_dir_ctx",
+    "disable_ext_cabac_alt_last_pos_ctx",
+    "disable_ext_two_cu_trees",
+    "disable_ext_transform_size_64",
+    "disable_ext_deblock_subblock_size_4",
+    "disable_ext2_intra_67_modes",
+    "disable_ext2_intra_6_predictors",
+    "disable_ext2_intra_chroma_from_luma",
+    "disable_ext2_inter_adaptive_fullpel_mv",
+    "disable_ext2_inter_affine",
+    "disable_ext2_inter_affine_merge",
+    "disable_ext2_inter_high_precision_mv",
+    "disable_ext2_inter_local_illumination_comp",
+    "disable_ext2_transform_high_precision",
+    "disable_ext2_transform_select",
+    "disable_ext2_cabac_alt_residual_ctx",
+)
+
+# Mode C toggles (inverts) this list (ref: restrictions.cc:373-443)
+_MODE_C_TOGGLE_FLAGS = (
+    "disable_intra_ref_sample_filter",
+    "disable_intra_dc_post_filter",
+    "disable_intra_ver_hor_post_filter",
+    "disable_inter_mvp",
+    "disable_inter_scaling_mvp",
+    "disable_inter_tmvp_mvp",
+    "disable_inter_tmvp_ref_list_derivation",
+    "disable_inter_merge_bipred",
+    "disable_inter_skip_mode",
+    "disable_inter_mvd_greater_than_flags",
+    "disable_transform_adaptive_scan_order",
+    "disable_transform_residual_greater2",
+    "disable_transform_root_cbf",
+    "disable_transform_subblock_csbf",
+    "disable_transform_sign_hiding",
+    "disable_transform_adaptive_exp_golomb",
+    "disable_cabac_skip_flag_ctx",
+    "disable_cabac_inter_dir_ctx",
+    "disable_cabac_subblock_csbf_ctx",
+    "disable_cabac_coeff_greater2_ctx",
+    "disable_cabac_coeff_last_pos_ctx",
+    "disable_cabac_init_per_pic_type",
+    "disable_cabac_init_per_qp",
+    "disable_deblock_strong_filter",
+    "disable_deblock_boundary_strength_zero",
+    "disable_deblock_boundary_strength_one",
+    "disable_deblock_weak_sample_decision",
+    "disable_deblock_two_samples_weak_filter",
+    "disable_ext_sink",
+    "disable_ext_implicit_last_ctu",
+    "disable_ext_tmvp_full_resolution",
+    "disable_ext_tmvp_exclude_intra_from_ref_list",
+    "disable_ext_ref_list_l0_trim",
+    "disable_ext_implicit_partition_type",
+    "disable_ext_cabac_alt_split_flag_ctx",
+    "disable_ext_cabac_alt_inter_dir_ctx",
+    "disable_ext_cabac_alt_last_pos_ctx",
+    "disable_ext_two_cu_trees",
+    "disable_ext_intra_unrestricted_predictor",
+    "disable_ext_deblock_subblock_size_4",
+    "disable_ext2_intra_67_modes",
+    "disable_ext2_intra_6_predictors",
+    "disable_ext2_inter_adaptive_fullpel_mv",
+    "disable_ext2_inter_affine",
+    "disable_ext2_inter_affine_merge",
+    "disable_ext2_inter_affine_mvp",
+    "disable_ext2_inter_bipred_l1_mvd_zero",
+    "disable_ext2_inter_high_precision_mv",
+    "disable_ext2_inter_local_illumination_comp",
+    "disable_ext2_transform_skip",
+    "disable_ext2_transform_high_precision",
+    "disable_ext2_transform_dst",
+)
+
+_MODE_D_FLAGS = _MODE_AB_FLAGS + (
+    "disable_ext_sink",
+    "disable_ext_two_cu_trees",
+    "disable_ext2_intra_67_modes",
+    "disable_ext2_intra_6_predictors",
+    "disable_ext2_intra_chroma_from_luma",
+    "disable_ext2_inter_adaptive_fullpel_mv",
+    "disable_ext2_inter_affine",
+    "disable_ext2_inter_affine_merge",
+    "disable_ext2_inter_high_precision_mv",
+    "disable_ext2_inter_local_illumination_comp",
+    "disable_ext2_transform_high_precision",
+    "disable_ext2_transform_select",
+    "disable_ext2_cabac_alt_residual_ctx",
+    "disable_intra_dc_post_filter",
+    "disable_intra_ver_hor_post_filter",
+    "disable_transform_sign_hiding",
+    "disable_transform_adaptive_scan_order",
+    "disable_ext2_transform_dst",
+)
+
+# Mode C requires every flag in this list set for baseline conformance
+_BASELINE_FLAGS = _MODE_C_TOGGLE_FLAGS
+
+
+def enable_restricted_mode(restr: "Restrictions", mode: int):
+    """Applies a baseline-profile preset (ref: restrictions.cc:340-470)."""
+    if mode == RestrictedMode.UNRESTRICTED:
+        return
+    if mode in (RestrictedMode.MODE_A, RestrictedMode.MODE_B):
+        for f in _MODE_AB_FLAGS:
+            setattr(restr, f, True)
+    if mode == RestrictedMode.MODE_A:
+        for f in _MODE_A_FLAGS:
+            setattr(restr, f, True)
+    if mode == RestrictedMode.MODE_C:
+        for f in _MODE_C_TOGGLE_FLAGS:
+            setattr(restr, f, not getattr(restr, f))
+    if mode == RestrictedMode.MODE_D:
+        for f in _MODE_D_FLAGS:
+            setattr(restr, f, True)
+
+
+def check_baseline_compatibility(restr: "Restrictions") -> bool:
+    """(ref: restrictions.cc:472-525)"""
+    return all(getattr(restr, f) for f in _BASELINE_FLAGS)
