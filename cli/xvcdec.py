@@ -48,9 +48,23 @@ def main(argv=None):
     data = sys.stdin.buffer.read() if g("bitstream-file") == "-" \
         else open(g("bitstream-file"), "rb").read()
     out = None
+    y4m_writer = None
+    from y4m import Y4mWriter
     if g("output-file"):
-        out = sys.stdout.buffer if g("output-file") == "-" \
-            else open(g("output-file"), "wb")
+        if g("output-file") == "-":
+            out = sys.stdout.buffer
+            y4m_writer = Y4mWriter()
+        else:
+            out = open(g("output-file"), "wb")
+            if g("output-file").endswith(".y4m"):
+                y4m_writer = Y4mWriter()
+
+    def write_pic(pic):
+        if y4m_writer is not None:
+            out.write(y4m_writer.frame_header(
+                pic.width, pic.height, pic.framerate, pic.chroma_format,
+                pic.bitdepth))
+        out.write(pic.bytes)
     start = time.time()
     pos = 0
     num_pics = 0
@@ -64,7 +78,7 @@ def main(argv=None):
         if pic is not None:
             num_pics += 1
             if out:
-                out.write(pic.bytes)
+                write_pic(pic)
     session.flush()
     while True:
         pic = session.get_picture()
@@ -72,15 +86,24 @@ def main(argv=None):
             break
         num_pics += 1
         if out:
-            out.write(pic.bytes)
+            write_pic(pic)
     if out and out is not sys.stdout.buffer:
         out.close()
     dt = time.time() - start
     print(f"Decoded:    {num_pics} pictures", file=sys.stderr)
     print(f"Total time: {dt:.2f} s", file=sys.stderr)
+    # Conformance check (ref: decoder_app.cc:300-330)
+    if num_pics == 0:
+        print("No pictures were decoded.", file=sys.stderr)
+        return 2
     if session.num_corrupted_pics:
-        print(f"Corrupted:  {session.num_corrupted_pics}", file=sys.stderr)
+        print(f"Error: A decoding mismatch occured in "
+              f"{session.num_corrupted_pics} pictures.", file=sys.stderr)
+        print("The bitstream is NOT a conforming bitstream.",
+              file=sys.stderr)
         return 1
+    print("Conformance verified.", file=sys.stderr)
+    print("The bitstream is a conforming bitstream.", file=sys.stderr)
     return 0
 
 

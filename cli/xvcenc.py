@@ -62,12 +62,25 @@ def main(argv=None):
     g = lambda name: args[name.replace("-", "_")]  # noqa: E731
     width, height = g("input-width"), g("input-height")
     bitdepth = g("input-bitdepth")
-    internal = g("internal-bitdepth") or bitdepth
     chroma = g("input-chroma-format")
+    framerate = g("framerate")
+
+    infile = sys.stdin.buffer if g("input-file") == "-" \
+        else open(g("input-file"), "rb")
+    from y4m import Y4mReader
+    y4m = Y4mReader(infile)
+    leftover = y4m.read_header(infile.read(10))
+    if y4m.is_y4m:
+        width, height = y4m.width, y4m.height
+        bitdepth = y4m.bitdepth
+        chroma = y4m.chroma_format
+        if y4m.framerate:
+            framerate = y4m.framerate
+    internal = g("internal-bitdepth") or bitdepth
     params = EncoderParameters(
         width=width, height=height, chroma_format=chroma,
         color_matrix=g("input-color-matrix"), input_bitdepth=bitdepth,
-        internal_bitdepth=internal, framerate=g("framerate"),
+        internal_bitdepth=internal, framerate=framerate,
         sub_gop_length=g("sub-gop-length"),
         max_keypic_distance=g("max-keypic-distance"),
         closed_gop=g("closed-gop"), low_delay=g("low-delay"),
@@ -95,9 +108,29 @@ def main(argv=None):
         pic_samples = width * height * 3 // 2
     frame_size = pic_samples * sample_bytes
 
-    infile = sys.stdin.buffer if g("input-file") == "-" \
-        else open(g("input-file"), "rb")
     out = open(g("output-file"), "wb")
+    rec_out = open(g("rec-file"), "wb") if g("rec-file") else None
+
+    def read_frame():
+        nonlocal leftover
+        if y4m.is_y4m:
+            leftover = y4m.skip_frame_header(leftover)
+        need = frame_size
+        chunks = []
+        if leftover:
+            take = leftover[:need]
+            chunks.append(take)
+            leftover = leftover[len(take):]
+            need -= len(take)
+        if need:
+            chunks.append(infile.read(need))
+        return b"".join(chunks)
+
+    def drain_rec():
+        if rec_out is not None:
+            for rec in session.rec_pictures:
+                rec_out.write(rec)
+            session.rec_pictures.clear()
     total_nals = 0
     total_bytes = 0
     start = time.time()
@@ -106,10 +139,10 @@ def main(argv=None):
     max_pics = g("max-pictures")
     skip = g("skip-pictures")
     subsample = max(1, g("temporal-subsample"))
-    if skip:
-        infile.read(frame_size * skip)
+    for _ in range(skip):
+        read_frame()
     while max_pics < 0 or encoded < max_pics:
-        data = infile.read(frame_size)
+        data = read_frame()
         if len(data) < frame_size:
             break
         if picture_index % subsample:
@@ -121,13 +154,17 @@ def main(argv=None):
             out.write(nal)
             total_nals += 1
             total_bytes += len(nal)
+        drain_rec()
         encoded += 1
     for nal in session.flush():
         out.write(struct.pack("<I", len(nal)))
         out.write(nal)
         total_nals += 1
         total_bytes += len(nal)
+    drain_rec()
     out.close()
+    if rec_out is not None:
+        rec_out.close()
     if infile is not sys.stdin.buffer:
         infile.close()
     dt = time.time() - start

@@ -125,14 +125,30 @@ class EncoderSession:
         else:
             enc.set_closed_gop_interval(((1 << 62) // sub_gop) * sub_gop)
         self._enc = enc
+        self.rec_pictures = []  # reconstruction output queue (POC order)
 
     def encode(self, picture_bytes: bytes):
         """Encode one picture; returns list of NAL byte strings."""
-        return [n.bytes for n in self._enc.encode(picture_bytes)]
+        nals = [n.bytes for n in self._enc.encode(picture_bytes)]
+        self._capture_rec()
+        return nals
 
     def flush(self):
         """Flush all pending pictures; returns list of NAL byte strings."""
-        return [n.bytes for n in self._enc.flush_all()]
+        nals = []
+        while True:
+            out, more = self._enc.flush()
+            nals.extend(n.bytes for n in out)
+            self._capture_rec()
+            if not more:
+                break
+        return nals
+
+    def _capture_rec(self):
+        poc, rec = getattr(self._enc, "out_rec", (None, None))
+        if poc is not None:
+            self.rec_pictures.append(rec)
+        self._enc.out_rec = (None, None)
 
 
 @dataclass
@@ -162,6 +178,8 @@ class DecoderSession:
         self._dec.output_chroma_format = ocf
         self._dec.output_color_matrix = self.params.output_color_matrix
         self._dec.dither = self.params.dither != 0
+        max_fps = self.params.max_framerate or k.TIME_SCALE
+        self._dec.decoder_ticks = int(k.TIME_SCALE / max_fps + 0.5)
         self._pending = []
 
     def decode_nal(self, nal_bytes: bytes, user_data: int = 0):

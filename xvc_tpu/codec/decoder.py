@@ -30,6 +30,7 @@ class OutputPicture:
     user_data: int = 0
     conforming: bool = True
     nal_unit_type: int = 0
+    framerate: float = 0.0
 
 
 class Decoder:
@@ -128,7 +129,11 @@ class Decoder:
             chroma_format=self.output_chroma_format,
             user_data=best.user_data,
             conforming=best.is_conforming,
-            nal_unit_type=int(best.pic_data.nal_type))
+            nal_unit_type=int(best.pic_data.nal_type),
+            framerate=seg.get_framerate(
+                self.max_tid, self.curr_segment_header.bitstream_ticks,
+                self.curr_segment_header.max_sub_gop_length)
+            if self.curr_segment_header.bitstream_ticks else 0.0)
 
     def _has_picture_ready_for_output(self):
         """(ref: decoder.h:67-70)"""
@@ -256,8 +261,16 @@ class Decoder:
                     segment_header.num_ref_pics + 1:
                 pic = self.zero_tid_pic_dec.pop(0)
                 pic.ref_count -= 1
-        success = pic_dec.decode(segment_header, self.prev_segment_header,
-                                 bit_reader, True)
+        try:
+            success = pic_dec.decode(segment_header,
+                                     self.prev_segment_header,
+                                     bit_reader, True)
+        except ValueError:
+            # Corrupt/truncated payload: keep the session alive and mark
+            # the picture non-conforming (ref: the C++ decoder never
+            # throws; garbage parses surface as checksum mismatches,
+            # decoder.cc:480-495).
+            success = False
         self._on_picture_decoded(pic_dec, success, deps)
 
     def _get_free_picture_decoder(self, sh):

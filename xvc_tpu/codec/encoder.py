@@ -177,9 +177,10 @@ class Encoder:
                     if pic.pic_data.doc == self.doc + 1:
                         self._encode_one_picture(pic)
         self.poc += 1
+        self.out_rec = (None, None)
         if len(self.pic_encoders) + sh.max_sub_gop_length >= \
                 self.pic_buffering_num:
-            self.reconstruct_next_picture()
+            self.out_rec = self.reconstruct_next_picture()
         self._prepare_output_nals()
         return list(self.api_output_nals)
 
@@ -201,7 +202,7 @@ class Encoder:
                 if not found:
                     self.doc += 1
         self.poc += 1
-        self.reconstruct_next_picture()
+        self.out_rec = self.reconstruct_next_picture()
         self._prepare_output_nals()
         more = (self.doc + 1 < self.poc or
                 len(self.doc_bitstream_order) > 0 or
