@@ -167,6 +167,32 @@ def make_restricted_mode_vectors():
                         "-simd-mask", "0"], check=True, capture_output=True)
 
 
+def make_speed_mode_vectors():
+    """Speed/tune/checksum-mode/leading-pictures variants on 48x32
+    (ref: encoder_settings.cc:29-73)."""
+    yuv = os.path.join(OUT, "sp48x32_in.yuv")
+    with open(yuv, "wb") as f:
+        f.write(synth_yuv420(48, 32, 6, 8))
+    base = [REF_ENC, "-input-file", yuv, "-input-width", "48",
+            "-input-height", "32", "-input-bitdepth", "8",
+            "-internal-bitdepth", "8", "-qp", "32", "-sub-gop-length", "4"]
+    cases = [
+        ("sp_placebo", ["-speed-mode", "0", "-checksum-mode", "1"]),
+        ("sp_fast", ["-speed-mode", "2", "-checksum-mode", "1"]),
+        ("sp_tunepsnr", ["-tune", "1", "-checksum-mode", "1"]),
+        ("sp_cksum0", []),
+        ("sp_leadpics", ["-checksum-mode", "1",
+                         "-explicit-encoder-settings", "leading_pictures 1"]),
+    ]
+    for tag, extra in cases:
+        bs = os.path.join(OUT, f"{tag}.xvc")
+        subprocess.run(base + ["-output-file", bs] + extra, check=True,
+                       capture_output=True)
+        subprocess.run([REF_DEC, "-bitstream-file", bs, "-output-file",
+                        os.path.join(OUT, f"{tag}_dec.yuv"),
+                        "-simd-mask", "0"], check=True, capture_output=True)
+
+
 def main():
     ai = ["-sub-gop-length", "1", "-num-ref-pics", "0"]
     # All-intra tiny: primary bring-up vector
@@ -192,6 +218,7 @@ def main():
     make_output_conversion_vectors()
     make_scalability_vector()
     make_restricted_mode_vectors()
+    make_speed_mode_vectors()
     print("done")
 
 

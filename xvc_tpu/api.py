@@ -92,6 +92,8 @@ class EncoderSession:
         if params.explicit_encoder_settings:
             settings.parse_explicit_settings(
                 params.explicit_encoder_settings)
+        settings.leading_pictures = params.leading_pictures
+        settings.flat_lambda = params.flat_lambda
         if params.num_ref_pics >= 0:
             settings.default_num_ref_pics = params.num_ref_pics
         enc.set_resolution(params.width, params.height)

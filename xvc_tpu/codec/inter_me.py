@@ -1197,7 +1197,6 @@ def _compress_merge(enc, cu, qp, writer, best_cu_cost, fast_merge_skip):
     skip_eval_init = 1 if fast_merge_skip else 0
     for skip_eval_idx in range(skip_eval_init, 2):
         force_skip = skip_eval_idx != 0
-        stop = False
         for i in range(num_merge_cand):
             merge_idx = cand_lookup[i]
             if skip_evaluated[merge_idx]:
@@ -1218,10 +1217,11 @@ def _compress_merge(enc, cu, qp, writer, best_cu_cost, fast_merge_skip):
                 best_state["inter"] = save_inter_state(cu)
                 best_state["root_cbf"] = cu.root_cbf
                 if not has_any_cbf and not force_skip:
-                    stop = True
+                    # Encoder optimization, assume skip is always best;
+                    # only ends this round, the forced-skip round still
+                    # evaluates candidates that produced coefficients
+                    # (ref: cu_encoder.cc:657-669).
                     break
-        if stop:
-            break
     cu.merge_idx = best_merge_idx
     mv_mod.apply_merge_cand(cu, merge_list[best_merge_idx])
     for c in comps:
