@@ -42,7 +42,8 @@ def main(argv=None):
         output_chroma_format=g("output-chroma-format"),
         output_color_matrix=g("output-color-matrix"),
         output_bitdepth=g("output-bitdepth"),
-        max_framerate=g("max-framerate"), dither=g("dither"))
+        max_framerate=g("max-framerate"), dither=g("dither"),
+        threads=g("threads"))
     session = DecoderSession(params)
 
     data = sys.stdin.buffer.read() if g("bitstream-file") == "-" \

@@ -163,6 +163,7 @@ class DecoderParameters:
     output_bitdepth: int = 0
     max_framerate: float = 0
     dither: int = 0
+    threads: int = 0
 
 
 class DecoderSession:
@@ -170,7 +171,7 @@ class DecoderSession:
 
     def __init__(self, params: DecoderParameters = None):
         self.params = params or DecoderParameters()
-        self._dec = Decoder()
+        self._dec = Decoder(num_threads=self.params.threads)
         self._dec.output_width = self.params.output_width
         self._dec.output_height = self.params.output_height
         self._dec.output_bitdepth = self.params.output_bitdepth

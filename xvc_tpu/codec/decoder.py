@@ -34,7 +34,10 @@ class OutputPicture:
 
 
 class Decoder:
-    def __init__(self):
+    def __init__(self, num_threads=0):
+        from ..parallel.pipeline import DecodePipeline
+        self.pipeline = DecodePipeline(num_threads) if num_threads > 0 \
+            else None
         self.curr_segment_header = seg.SegmentHeader()
         self.prev_segment_header = seg.SegmentHeader()
         self.state = DecoderState.NO_SEGMENT_HEADER
@@ -114,6 +117,7 @@ class Decoder:
                 best = pic
         if best is None:
             return None
+        self._wait_for_picture(best)
         best.output_status_done = True
         self.num_pics_in_buffer -= 1
         poc_offset = -1 if self.curr_segment_header.leading_pictures else 0
@@ -134,6 +138,16 @@ class Decoder:
                 self.max_tid, self.curr_segment_header.bitstream_ticks,
                 self.curr_segment_header.max_sub_gop_length)
             if self.curr_segment_header.bitstream_ticks else 0.0)
+
+    def _wait_for_picture(self, pic_dec):
+        """Harvest an async picture decode
+        (ref: thread_decoder.cc WaitAll / decoder.cc:364-433)."""
+        job = getattr(pic_dec, "pending_job", None)
+        if job is None:
+            return
+        pic_dec.pending_job = None
+        success = job.future.result()
+        self._on_picture_decoded(pic_dec, success, job.deps)
 
     def _has_picture_ready_for_output(self):
         """(ref: decoder.h:67-70)"""
@@ -261,6 +275,11 @@ class Decoder:
                     segment_header.num_ref_pics + 1:
                 pic = self.zero_tid_pic_dec.pop(0)
                 pic.ref_count -= 1
+        if self.pipeline is not None:
+            pic_dec.pending_job = self.pipeline.submit(
+                pic_dec, deps, segment_header, self.prev_segment_header,
+                bit_reader)
+            return
         try:
             success = pic_dec.decode(segment_header,
                                      self.prev_segment_header,

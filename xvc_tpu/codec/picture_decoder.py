@@ -115,21 +115,32 @@ class PictureDecoder:
         self.pic_hash = b""
 
     def get_alternative_rec_pic(self, segment_header):
+        """Allocate (but do not fill) the cross-segment alternative
+        reconstruction; content is produced by the picture's own decode
+        via generate_alternative_rec_pic, exactly like the reference so
+        reference-list preparation stays thread-safe
+        (ref: picture_decoder.cc:226-241)."""
         if self.alt_rec_pic is not None:
             return self.alt_rec_pic
-        from ..ops import resample
         sh = segment_header
-        alt = YuvPicture(sh.chroma_format, sh.internal_width,
-                         sh.internal_height, sh.internal_bitdepth, True,
-                         sh.crop_width, sh.crop_height)
-        for c in range(k.num_components(sh.chroma_format)):
+        self.alt_rec_pic = YuvPicture(sh.chroma_format, sh.internal_width,
+                                      sh.internal_height,
+                                      sh.internal_bitdepth, True,
+                                      sh.crop_width, sh.crop_height)
+        return self.alt_rec_pic
+
+    def generate_alternative_rec_pic(self, segment_header):
+        """Fill the alternative reconstruction by rescaling rec_pic
+        (ref: picture_decoder.cc:242-293)."""
+        from ..ops import resample
+        alt = self.get_alternative_rec_pic(segment_header)
+        for c in range(k.num_components(segment_header.chroma_format)):
             if (self.rec_pic.chroma_format == k.ChromaFormat.MONOCHROME
                     and c != 0):
                 alt.plane_view(c)[:] = 1 << (alt.bitdepth - 1)
                 continue
             resample.resample_pic_plane(alt, c, self.rec_pic)
         alt.pad_border()
-        self.alt_rec_pic = alt
         return alt
 
     def init_pic(self, segment, header, ref_pic_list, output_pic_format,
@@ -193,7 +204,7 @@ class PictureDecoder:
                  ps.internal_height == segment.internal_height and
                  ps.internal_bitdepth == segment.internal_bitdepth)):
             return
-        self.get_alternative_rec_pic(prev_segment)
+        self.generate_alternative_rec_pic(prev_segment)
 
     def postprocess(self, segment, bit_reader):
         success = True

@@ -1,0 +1,70 @@
+"""Dependency-aware picture-parallel decode pipeline.
+
+Behavioral equivalent of the reference thread pool
+(ref: src/xvc_dec_lib/thread_decoder.cc:29-176): pictures decode
+concurrently on worker threads once their reference pictures have
+finished reconstruction; postprocessing (checksum + output conversion)
+also runs on the worker so dependents wake as soon as samples are
+ready.  The hot loops (native CABAC parse via ctypes, numpy DSP)
+release the GIL, so picture-level threads scale on the host CPU.
+
+The threaded and unthreaded paths are bit-identical by construction —
+every picture sees exactly the reference pictures the sequential
+decoder would have used (pinned by tests/test_threads.py, the analog of
+test/xvc_test/restrictions_test.cc SupportParallelDecode*).
+"""
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+
+class PictureJob:
+    """One in-flight picture decode (ref: thread_decoder.h work item)."""
+
+    __slots__ = ("pic_dec", "deps", "future")
+
+    def __init__(self, pic_dec, deps):
+        self.pic_dec = pic_dec
+        self.deps = deps
+        self.future = None
+
+
+class DecodePipeline:
+    """Executes picture decodes with inter-prediction dependencies."""
+
+    def __init__(self, num_threads):
+        self.executor = ThreadPoolExecutor(max_workers=num_threads,
+                                           thread_name_prefix="xvc-dec")
+
+    def submit(self, pic_dec, deps, segment_header, prev_segment_header,
+               bit_reader):
+        if not hasattr(pic_dec, "recon_done"):
+            pic_dec.recon_done = threading.Event()
+        pic_dec.recon_done.clear()
+        job = PictureJob(pic_dec, deps)
+
+        def work():
+            for dep in deps:
+                ev = getattr(dep, "recon_done", None)
+                if ev is not None:
+                    ev.wait()
+            try:
+                ok = pic_dec.decode(segment_header, prev_segment_header,
+                                    bit_reader, post_process=False)
+            except ValueError:
+                ok = False
+            finally:
+                # Dependents only need the reconstruction; wake them
+                # before postprocessing (ref: thread_decoder.cc:152-170).
+                pic_dec.recon_done.set()
+            if ok:
+                try:
+                    ok = pic_dec.postprocess(segment_header, bit_reader)
+                except ValueError:
+                    ok = False
+            return ok
+
+        job.future = self.executor.submit(work)
+        return job
+
+    def shutdown(self):
+        self.executor.shutdown(wait=True)
