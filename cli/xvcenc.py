@@ -93,7 +93,7 @@ def main(argv=None):
         deblock=g("deblock"), beta_offset=g("beta-offset"),
         tc_offset=g("tc-offset"), qp=g("qp"),
         flat_lambda=g("flat-lambda"), speed_mode=g("speed-mode"),
-        tune_mode=g("tune"),
+        tune_mode=g("tune"), threads=g("threads"),
         explicit_encoder_settings=g("explicit-encoder-settings"))
     session = EncoderSession(params)
 

@@ -51,3 +51,28 @@ def test_threaded_restriction_switch():
     b = decode_all(bs, 4)
     assert b"".join(p.bytes for p in a) == b"".join(p.bytes for p in b)
     assert all(p.conforming for p in b)
+
+
+def test_threaded_encode_equals_sequential():
+    """ThreadEncoder-equivalent determinism (ref: thread_encoder.cc):
+    picture-parallel encoding produces a byte-identical bitstream and
+    reconstruction output."""
+    raw = read_data("sp48x32_in.yuv")
+    fs = 48 * 32 * 3 // 2
+
+    def run(threads):
+        p = api.EncoderParameters(width=48, height=32, qp=32,
+                                  sub_gop_length=4, checksum_mode=1,
+                                  threads=threads)
+        enc = api.EncoderSession(p)
+        nals = []
+        for i in range(6):
+            nals += enc.encode(raw[i * fs:(i + 1) * fs])
+        nals += enc.flush()
+        return (b"".join(len(n).to_bytes(4, "little") + n for n in nals),
+                list(enc.rec_pictures))
+
+    seq_bs, seq_rec = run(0)
+    thr_bs, thr_rec = run(4)
+    assert thr_bs == seq_bs
+    assert thr_rec == seq_rec

@@ -54,6 +54,7 @@ class EncoderParameters:
     tune_mode: int = 0
     checksum_mode: int = 0
     leading_pictures: int = 0
+    threads: int = 0
     explicit_encoder_settings: str = ""
 
 
@@ -81,7 +82,8 @@ class EncoderSession:
         if rc != OK:
             raise ValueError(f"invalid encoder parameters (code {rc})")
         self.params = params
-        enc = Encoder(params.internal_bitdepth)
+        enc = Encoder(params.internal_bitdepth,
+                      num_threads=params.threads)
         settings = EncoderSettings()
         settings.initialize_speed(
             1 if params.speed_mode < 0 else params.speed_mode)

@@ -30,7 +30,11 @@ class EncodedNal:
 
 
 class Encoder:
-    def __init__(self, internal_bitdepth=8):
+    def __init__(self, internal_bitdepth=8, num_threads=0):
+        from ..parallel.pipeline import EncodePipeline
+        self.pipeline = EncodePipeline(num_threads) if num_threads > 0 \
+            else None
+        self._encode_jobs = []
         self.segment_header = seg.SegmentHeader()
         self.segment_header.codec_identifier = k.XVC_CODEC_IDENTIFIER
         self.segment_header.major_version = k.XVC_MAJOR_VERSION
@@ -177,6 +181,7 @@ class Encoder:
                     if pic.pic_data.doc == self.doc + 1:
                         self._encode_one_picture(pic)
         self.poc += 1
+        self._harvest_encode_jobs()
         self.out_rec = (None, None)
         if len(self.pic_encoders) + sh.max_sub_gop_length >= \
                 self.pic_buffering_num:
@@ -202,6 +207,7 @@ class Encoder:
                 if not found:
                     self.doc += 1
         self.poc += 1
+        self._harvest_encode_jobs()
         self.out_rec = self.reconstruct_next_picture()
         self._prepare_output_nals()
         more = (self.doc + 1 < self.poc or
@@ -349,14 +355,29 @@ class Encoder:
                               self.pic_encoders,
                               pic_enc.pic_data.ref_pic_lists,
                               sh.leading_pictures)
-        nal_bytes = pic_enc.encode(sh, self.segment_qp,
-                                   1 if pic_enc.buffer_flag else 0,
-                                   self.settings)
-        pic_enc.output_status = "finished"
-        self._on_picture_encoded(pic_enc, deps, nal_bytes)
+        if self.pipeline is not None:
+            job = self.pipeline.submit(pic_enc, deps, sh, self.segment_qp,
+                                       1 if pic_enc.buffer_flag else 0,
+                                       self.settings)
+            self._encode_jobs.append((pic_enc, deps, job))
+        else:
+            nal_bytes = pic_enc.encode(sh, self.segment_qp,
+                                       1 if pic_enc.buffer_flag else 0,
+                                       self.settings)
+            pic_enc.output_status = "finished"
+            self._on_picture_encoded(pic_enc, deps, nal_bytes)
         if pic_enc.pic_data.soc == self.segment_header.soc:
             self.doc_bitstream_order.append(pic_enc.pic_data.doc)
         self.doc += 1
+
+    def _harvest_encode_jobs(self):
+        """Collect async picture encodes in submission (DOC) order
+        (ref: thread_encoder.cc:61-97 WaitOne/WaitForPicture)."""
+        for pic_enc, deps, job in self._encode_jobs:
+            nal_bytes = job.future.result()
+            pic_enc.output_status = "finished"
+            self._on_picture_encoded(pic_enc, deps, nal_bytes)
+        self._encode_jobs = []
 
     def _on_picture_encoded(self, pic_enc, inter_deps, nal_bytes):
         """(ref: encoder.cc:328-376)"""

@@ -68,3 +68,42 @@ class DecodePipeline:
 
     def shutdown(self):
         self.executor.shutdown(wait=True)
+
+
+class EncodePipeline:
+    """Picture-parallel encoding within a sub-gop burst.
+
+    Behavioral equivalent of the reference encoder pool
+    (ref: src/xvc_enc_lib/thread_encoder.cc:29-159): a picture encode
+    starts once all reference pictures it predicts from have finished
+    reconstruction; NAL harvesting stays in DOC order on the session
+    thread so the bitstream is byte-identical to the sequential path.
+    """
+
+    def __init__(self, num_threads):
+        self.executor = ThreadPoolExecutor(max_workers=num_threads,
+                                           thread_name_prefix="xvc-enc")
+
+    def submit(self, pic_enc, deps, segment_header, segment_qp, buffer_flag,
+               settings):
+        if not hasattr(pic_enc, "recon_done"):
+            pic_enc.recon_done = threading.Event()
+        pic_enc.recon_done.clear()
+        job = PictureJob(pic_enc, deps)
+
+        def work():
+            for dep in deps:
+                ev = getattr(dep, "recon_done", None)
+                if ev is not None:
+                    ev.wait()
+            try:
+                return pic_enc.encode(segment_header, segment_qp,
+                                      buffer_flag, settings)
+            finally:
+                pic_enc.recon_done.set()
+
+        job.future = self.executor.submit(work)
+        return job
+
+    def shutdown(self):
+        self.executor.shutdown(wait=True)
