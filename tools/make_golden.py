@@ -193,6 +193,41 @@ def make_speed_mode_vectors():
                         "-simd-mask", "0"], check=True, capture_output=True)
 
 
+def make_chroma_format_vectors():
+    """Monochrome / 422 / 444 vectors (ref: yuv_pic.cc)."""
+    import numpy as np
+    w, h, frames = 32, 32, 2
+    rng = np.random.RandomState(11)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    for cf, tag in ((0, "mono"), (2, "c422"), (3, "c444")):
+        chunks = []
+        for f in range(frames):
+            y = ((xx * 3 + yy * 2 + f * 7) % 256 * 0.6 +
+                 0.4 * rng.randint(0, 256, (h, w))).clip(0, 255) \
+                .astype(np.uint8)
+            chunks.append(y.tobytes())
+            if cf != 0:
+                cw = w if cf == 3 else w // 2
+                ch = h if cf >= 2 else h // 2
+                u = ((xx[:ch, :cw] * 2 + f * 3) % 200 + 28).astype(np.uint8)
+                v = ((yy[:ch, :cw] * 3 + 255 - f) % 200 + 28) \
+                    .astype(np.uint8)
+                chunks += [u.tobytes(), v.tobytes()]
+        yuv = os.path.join(OUT, f"cf_{tag}_in.yuv")
+        open(yuv, "wb").write(b"".join(chunks))
+        bs = os.path.join(OUT, f"cf_{tag}.xvc")
+        subprocess.run([REF_ENC, "-input-file", yuv, "-output-file", bs,
+                        "-input-width", str(w), "-input-height", str(h),
+                        "-input-bitdepth", "8", "-internal-bitdepth", "8",
+                        "-input-chroma-format", str(cf), "-qp", "32",
+                        "-checksum-mode", "1", "-sub-gop-length", "1",
+                        "-num-ref-pics", "1"], check=True,
+                       capture_output=True)
+        subprocess.run([REF_DEC, "-bitstream-file", bs, "-output-file",
+                        os.path.join(OUT, f"cf_{tag}_dec.yuv"),
+                        "-simd-mask", "0"], check=True, capture_output=True)
+
+
 def main():
     ai = ["-sub-gop-length", "1", "-num-ref-pics", "0"]
     # All-intra tiny: primary bring-up vector
@@ -219,6 +254,7 @@ def main():
     make_scalability_vector()
     make_restricted_mode_vectors()
     make_speed_mode_vectors()
+    make_chroma_format_vectors()
     print("done")
 
 
