@@ -24,6 +24,7 @@ ERR_BITSTREAM_BITDEPTH_TOO_HIGH = 23
 ERR_BITSTREAM_CORRUPTED = 24
 
 DEFAULT_SUB_GOP_LENGTH = 16
+ERR_NO_SUCH_PRESET = 17
 
 
 @dataclass
@@ -50,6 +51,8 @@ class EncoderParameters:
     tc_offset: int = 0
     qp: int = 32
     flat_lambda: int = 0
+    lambda_a: float = 0.0
+    lambda_b: float = 0.0
     speed_mode: int = -1           # -1 = default (slow)
     tune_mode: int = 0
     checksum_mode: int = 0
@@ -71,6 +74,27 @@ def encoder_parameters_check(p: EncoderParameters) -> int:
         return ERR_INVALID_PARAM
     if p.sub_gop_length > 64:
         return ERR_INVALID_PARAM
+    return OK
+
+
+def encoder_parameters_apply_rd_preset(preset: int,
+                                       p: EncoderParameters) -> int:
+    """Multi-pass RD presets (ref: xvcenc.cc:91-124)."""
+    import math
+    if preset == 0:
+        p.flat_lambda = 0
+        p.leading_pictures = 0
+    elif preset == 1:
+        p.leading_pictures = 1
+    elif preset == 2:
+        p.flat_lambda = p.sub_gop_length if p.sub_gop_length > 0 \
+            else DEFAULT_SUB_GOP_LENGTH
+    elif preset == 3:
+        p.leading_pictures = 1
+        p.lambda_a = math.pow(2.0, -5 / 3.0)
+        p.lambda_b = 1.0 / 22
+    else:
+        return ERR_NO_SUCH_PRESET
     return OK
 
 
@@ -96,6 +120,10 @@ class EncoderSession:
                 params.explicit_encoder_settings)
         settings.leading_pictures = params.leading_pictures
         settings.flat_lambda = params.flat_lambda
+        if params.lambda_a != 0:
+            settings.lambda_scale_a = params.lambda_a
+        if params.lambda_b != 0:
+            settings.lambda_scale_b = params.lambda_b
         if params.num_ref_pics >= 0:
             settings.default_num_ref_pics = params.num_ref_pics
         enc.set_resolution(params.width, params.height)
@@ -130,10 +158,20 @@ class EncoderSession:
             enc.set_closed_gop_interval(((1 << 62) // sub_gop) * sub_gop)
         self._enc = enc
         self.rec_pictures = []  # reconstruction output queue (POC order)
+        self.total_sse = 0
+        self.nal_stats = []  # per-NAL stats (ref: xvcenc.h xvc_enc_nal_stats)
+
+    def _collect(self, out_nals):
+        nals = []
+        for n in out_nals:
+            self.total_sse += n.sse
+            self.nal_stats.append(n)
+            nals.append(n.bytes)
+        return nals
 
     def encode(self, picture_bytes: bytes):
         """Encode one picture; returns list of NAL byte strings."""
-        nals = [n.bytes for n in self._enc.encode(picture_bytes)]
+        nals = self._collect(self._enc.encode(picture_bytes))
         self._capture_rec()
         return nals
 
@@ -142,7 +180,7 @@ class EncoderSession:
         nals = []
         while True:
             out, more = self._enc.flush()
-            nals.extend(n.bytes for n in out)
+            nals.extend(self._collect(out))
             self._capture_rec()
             if not more:
                 break

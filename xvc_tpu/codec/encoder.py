@@ -15,7 +15,7 @@ from .ref_lists import ReferenceListSorter
 
 class EncodedNal:
     def __init__(self, bytes_, buffer_flag, nal_unit_type, poc, doc, soc,
-                 tid, qp=0, user_data=0, sse=0, psnr=None):
+                 tid, qp=0, user_data=0, sse=0, psnr=None, l0=None, l1=None):
         self.bytes = bytes_
         self.buffer_flag = buffer_flag
         self.nal_unit_type = nal_unit_type
@@ -23,6 +23,8 @@ class EncodedNal:
         self.doc = doc
         self.soc = soc
         self.tid = tid
+        self.l0 = l0 or []
+        self.l1 = l1 or []
         self.qp = qp
         self.user_data = user_data
         self.sse = sse
@@ -383,12 +385,19 @@ class Encoder:
         """(ref: encoder.cc:328-376)"""
         pic_enc.output_status = "has_not_been_output"
         pd = pic_enc.pic_data
+        rpl = pd.ref_pic_lists
+        l0, l1 = [], []
+        if rpl is not None and not pd.is_intra_pic():
+            l0 = [rpl.get_ref_poc(0, i)
+                  for i in range(rpl.get_num_ref_pics(0))]
+            l1 = [rpl.get_ref_poc(1, i)
+                  for i in range(rpl.get_num_ref_pics(1))]
         nal = EncodedNal(
             nal_bytes, 1 if pic_enc.buffer_flag else 0, int(pd.nal_type),
             pd.poc, pd.doc, pd.soc, pd.tid,
             qp=pd.pic_qp.get_qp_raw(0) if pd.pic_qp else 0,
             user_data=pic_enc.user_data, sse=pic_enc.rec_sse,
-            psnr=list(pic_enc.rec_psnr))
+            psnr=list(pic_enc.rec_psnr), l0=l0, l1=l1)
         self.pending_out_nals[pd.doc] = nal
         last_poc = pd.poc
         for dep in sorted(inter_deps, key=lambda p: p.pic_data.poc):
