@@ -228,6 +228,24 @@ def make_chroma_format_vectors():
                         "-simd-mask", "0"], check=True, capture_output=True)
 
 
+def make_resolution_vectors():
+    """Odd-size vectors (implicit split + crop; resolution_test.cc)."""
+    for w, h in ((24, 16), (16, 24), (44, 20), (20, 36)):
+        tag = f"res{w}x{h}"
+        yuv = os.path.join(OUT, f"{tag}_in.yuv")
+        open(yuv, "wb").write(synth_yuv420(w, h, 2, 8))
+        bs = os.path.join(OUT, f"{tag}.xvc")
+        subprocess.run([REF_ENC, "-input-file", yuv, "-output-file", bs,
+                        "-input-width", str(w), "-input-height", str(h),
+                        "-input-bitdepth", "8", "-internal-bitdepth", "8",
+                        "-qp", "30", "-checksum-mode", "1",
+                        "-sub-gop-length", "1", "-num-ref-pics", "1"],
+                       check=True, capture_output=True)
+        subprocess.run([REF_DEC, "-bitstream-file", bs, "-output-file",
+                        os.path.join(OUT, f"{tag}_dec.yuv"),
+                        "-simd-mask", "0"], check=True, capture_output=True)
+
+
 def main():
     ai = ["-sub-gop-length", "1", "-num-ref-pics", "0"]
     # All-intra tiny: primary bring-up vector
@@ -255,6 +273,7 @@ def main():
     make_restricted_mode_vectors()
     make_speed_mode_vectors()
     make_chroma_format_vectors()
+    make_resolution_vectors()
     print("done")
 
 
