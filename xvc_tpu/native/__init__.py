@@ -66,6 +66,28 @@ def restr_bits(restr) -> int:
     return bits
 
 
+# Deblock restriction flag order; must match enum DeblockFlagBit in
+# xvcn.cpp.
+DEBLOCK_FLAG_ORDER = [
+    "disable_deblock_strong_filter",
+    "disable_deblock_weak_filter",
+    "disable_deblock_boundary_strength_zero",
+    "disable_deblock_boundary_strength_one",
+    "disable_deblock_initial_sample_decision",
+    "disable_deblock_weak_sample_decision",
+    "disable_deblock_two_samples_weak_filter",
+    "disable_deblock_depending_on_qp",
+]
+
+
+def deblock_bits(restr) -> int:
+    bits = 0
+    for i, name in enumerate(DEBLOCK_FLAG_ORDER):
+        if getattr(restr, name):
+            bits |= 1 << i
+    return bits
+
+
 def family_offsets() -> np.ndarray:
     from ..cabac.contexts import OFFSETS
     return np.array([OFFSETS[f] for f in FAMILY_ORDER], dtype=np.int32)
@@ -138,6 +160,13 @@ def _bind(lib):
         u8p, i32p, c.c_uint64, c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
         c.c_int, c.c_int, c.c_int, c.c_int64, c.c_int64, c.c_int, c.c_int64,
         i32p, i32p, c.c_int]
+    lib.xvcn_deblock_pass.argtypes = [
+        c.c_void_p, c.c_int64, c.c_void_p, c.c_int64, c.c_void_p, c.c_int64,
+        c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
+        c.c_int, c.c_int, c.c_int, c.c_int,
+        c.c_int, c.c_int, c.c_int,
+        c.c_int, c.c_int, c.c_uint64, c.c_int,
+        c.c_void_p, c.c_int, c.c_void_p]
     lib.xvcn_version.restype = c.c_int
     return lib
 

@@ -1872,3 +1872,318 @@ XVCN_API int xvcn_quant_rdo(
 }
 
 XVCN_API int xvcn_version() { return 1; }
+
+// ---- deblocking filter (ops/deblock.py, ref: deblocking_filter.cc) ----
+
+static const int kDeblockTcTable[54] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5, 5, 6, 6,
+    7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 22, 24};
+static const int kDeblockBetaTable[64] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 7, 8, 9,
+    10, 11, 12, 13, 14, 15, 16, 17, 18, 20, 22, 24, 26, 28, 30,
+    32, 34, 36, 38, 40, 42, 44, 46, 48, 50, 52, 54, 56, 58, 60,
+    62, 64, 66, 68, 70, 72, 74, 76, 78, 80, 82, 84, 86, 88};
+
+// deblock restriction flag bits (order mirrors native/__init__.py
+// DEBLOCK_FLAG_ORDER)
+enum DeblockFlagBit {
+  D_STRONG_FILTER = 1 << 0,
+  D_WEAK_FILTER = 1 << 1,
+  D_BOUNDARY_STRENGTH_ZERO = 1 << 2,
+  D_BOUNDARY_STRENGTH_ONE = 1 << 3,
+  D_INITIAL_SAMPLE_DECISION = 1 << 4,
+  D_WEAK_SAMPLE_DECISION = 1 << 5,
+  D_TWO_SAMPLES_WEAK_FILTER = 1 << 6,
+  D_DEPENDING_ON_QP = 1 << 7,
+};
+
+// per-CU attribute record layout (mirrors codec/deblock_native.py)
+enum CuAttr {
+  A_POS_X = 0, A_POS_Y, A_WIDTH, A_HEIGHT, A_IS_INTRA, A_CBF_Y,
+  A_QP0, A_QP1, A_REF_POC0, A_REF_POC1, A_REF_IDX0, A_MV0,  // A_MV0..+15
+  A_NUM = A_MV0 + 16,
+};
+
+struct DeblockCtx {
+  int32_t* plane;     // current component plane (padded origin applied)
+  int64_t stride;
+  int bitdepth;
+  int beta_offset, tc_offset;
+  uint64_t dflags;
+};
+
+static inline int32_t DbGet(const DeblockCtx& c, int x, int y, int dir,
+                            int i, int j) {
+  // i = along edge, j = across edge (negative = p side)
+  if (dir == 0) return c.plane[(int64_t)(y + i) * c.stride + x + j];
+  return c.plane[(int64_t)(y + j) * c.stride + x + i];
+}
+static inline void DbSet(const DeblockCtx& c, int x, int y, int dir,
+                         int i, int j, int32_t v) {
+  if (dir == 0) c.plane[(int64_t)(y + i) * c.stride + x + j] = v;
+  else c.plane[(int64_t)(y + j) * c.stride + x + i] = v;
+}
+
+static int DeblockBoundaryStrength(const int32_t* p, const int32_t* q,
+                                   int pos_x, int pos_y, int dir,
+                                   int pred_type_bi, uint64_t dflags) {
+  const int one_step = 16;
+  int bs = (dflags & D_BOUNDARY_STRENGTH_ZERO) ? 1 : 0;
+  int corner_p, corner_q;
+  if (dir == 0) {
+    corner_p = (pos_y - p[A_POS_Y]) < (p[A_HEIGHT] >> 1) ? 1 : 3;
+    corner_q = (pos_y - q[A_POS_Y]) < (q[A_HEIGHT] >> 1) ? 0 : 2;
+  } else {
+    corner_p = (pos_x - p[A_POS_X]) < (p[A_WIDTH] >> 1) ? 2 : 3;
+    corner_q = (pos_x - q[A_POS_X]) < (q[A_WIDTH] >> 1) ? 0 : 1;
+  }
+  const int32_t* mvp0 = p + A_MV0 + corner_p * 2;
+  const int32_t* mvp1 = p + A_MV0 + 8 + corner_p * 2;
+  const int32_t* mvq0 = q + A_MV0 + corner_q * 2;
+  const int32_t* mvq1 = q + A_MV0 + 8 + corner_q * 2;
+  if (p[A_IS_INTRA] || q[A_IS_INTRA]) {
+    bs = 2;
+  } else if (p[A_CBF_Y] || q[A_CBF_Y]) {
+    bs = 1;
+  } else if (pred_type_bi) {
+    int rp0 = p[A_REF_POC0], rp1 = p[A_REF_POC1];
+    int rq0 = q[A_REF_POC0], rq1 = q[A_REF_POC1];
+    if ((rp0 == rq0 && rp1 == rq1) || (rp0 == rq1 && rp1 == rq0)) {
+      bool c1 = abs(mvp0[0] - mvq0[0]) >= one_step ||
+                abs(mvp0[1] - mvq0[1]) >= one_step ||
+                abs(mvp1[0] - mvq1[0]) >= one_step ||
+                abs(mvp1[1] - mvq1[1]) >= one_step;
+      bool c2 = abs(mvp0[0] - mvq1[0]) >= one_step ||
+                abs(mvp0[1] - mvq1[1]) >= one_step ||
+                abs(mvp1[0] - mvq0[0]) >= one_step ||
+                abs(mvp1[1] - mvq0[1]) >= one_step;
+      if (rp0 != rp1) {
+        if (rp0 == rq0) {
+          if (c1) bs = 1;
+        } else {
+          if (c2) bs = 1;
+        }
+      } else {
+        if (c1 && c2) bs = 1;
+      }
+    } else {
+      bs = 1;
+    }
+  } else {
+    if (p[A_REF_IDX0] != q[A_REF_IDX0]) {
+      bs = 1;
+    } else {
+      if (abs(mvp0[0] - mvq0[0]) >= one_step ||
+          abs(mvp0[1] - mvq0[1]) >= one_step)
+        bs = 1;
+    }
+  }
+  if (bs == 1 && (dflags & D_BOUNDARY_STRENGTH_ONE)) bs = 2;
+  return bs;
+}
+
+static bool DeblockCheckStrong(const DeblockCtx& c, int x, int y, int dir,
+                               int i, int beta, int tc) {
+  int p3 = DbGet(c, x, y, dir, i, -4), p0 = DbGet(c, x, y, dir, i, -1);
+  int q0 = DbGet(c, x, y, dir, i, 0), q3 = DbGet(c, x, y, dir, i, 3);
+  return (abs(p3 - p0) + abs(q0 - q3)) < (beta >> 3) &&
+         abs(p0 - q0) < ((tc * 5 + 1) >> 1);
+}
+
+static void DeblockFilterEdgeLuma(const DeblockCtx& c, int x, int y, int dir,
+                                  int subblock_size, int bs, int qp) {
+  const int group = 4;
+  int bitdepth_shift = c.bitdepth - 8;
+  int sample_max = (1 << c.bitdepth) - 1;
+  int nbr_groups = subblock_size / group;
+  for (int gi = 0; gi < nbr_groups; gi++) {
+    int index_beta = qp + c.beta_offset;
+    if (index_beta < 0) index_beta = 0;
+    if (index_beta > 63) index_beta = 63;
+    int beta = kDeblockBetaTable[index_beta] << bitdepth_shift;
+    int g = gi * group;
+    auto dp = [&](int i) {
+      return abs(DbGet(c, x, y, dir, i, -3) - 2 * DbGet(c, x, y, dir, i, -2) +
+                 DbGet(c, x, y, dir, i, -1));
+    };
+    auto dq = [&](int i) {
+      return abs(DbGet(c, x, y, dir, i, 0) - 2 * DbGet(c, x, y, dir, i, 1) +
+                 DbGet(c, x, y, dir, i, 2));
+    };
+    int dp0 = dp(g), dq0 = dq(g), dp3 = dp(g + 3), dq3 = dq(g + 3);
+    int d0 = dp0 + dq0, d3 = dp3 + dq3;
+    int d = d0 + d3;
+    if (d >= beta && !(c.dflags & D_INITIAL_SAMPLE_DECISION)) continue;
+    int index_tc = qp + c.tc_offset + 2 * (bs - 1);
+    if (index_tc < 0) index_tc = 0;
+    if (index_tc > 53) index_tc = 53;
+    int tc = kDeblockTcTable[index_tc] << bitdepth_shift;
+
+    bool strong = ((d0 << 1) < (beta >> 2)) && ((d3 << 1) < (beta >> 2)) &&
+                  DeblockCheckStrong(c, x, y, dir, g, beta, tc) &&
+                  DeblockCheckStrong(c, x, y, dir, g + 3, beta, tc);
+    if (strong && !(c.dflags & D_STRONG_FILTER)) {
+      int tc2 = 2 * tc;
+      for (int i = g; i < g + group; i++) {
+        int p3 = DbGet(c, x, y, dir, i, -4), p2 = DbGet(c, x, y, dir, i, -3);
+        int p1 = DbGet(c, x, y, dir, i, -2), p0 = DbGet(c, x, y, dir, i, -1);
+        int q0 = DbGet(c, x, y, dir, i, 0), q1 = DbGet(c, x, y, dir, i, 1);
+        int q2 = DbGet(c, x, y, dir, i, 2), q3 = DbGet(c, x, y, dir, i, 3);
+        int np2 = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3;
+        int np1 = (p2 + p1 + p0 + q0 + 2) >> 2;
+        int np0 = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3;
+        int nq0 = (p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3;
+        int nq1 = (p0 + q0 + q1 + q2 + 2) >> 2;
+        int nq2 = (p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3;
+        auto cl = [&](int nv, int v) {
+          int dlt = nv - v;
+          if (dlt < -tc2) dlt = -tc2;
+          if (dlt > tc2) dlt = tc2;
+          return v + dlt;
+        };
+        DbSet(c, x, y, dir, i, -3, cl(np2, p2));
+        DbSet(c, x, y, dir, i, -2, cl(np1, p1));
+        DbSet(c, x, y, dir, i, -1, cl(np0, p0));
+        DbSet(c, x, y, dir, i, 0, cl(nq0, q0));
+        DbSet(c, x, y, dir, i, 1, cl(nq1, q1));
+        DbSet(c, x, y, dir, i, 2, cl(nq2, q2));
+      }
+    } else {
+      if (c.dflags & D_WEAK_FILTER) continue;
+      int side_threshold = (beta + (beta >> 1)) >> 3;
+      bool filter_p1 = (dp0 + dp3) < side_threshold;
+      bool filter_q1 = (dq0 + dq3) < side_threshold;
+      int threshold = tc * 10;
+      int half_tc = tc >> 1;
+      for (int i = g; i < g + group; i++) {
+        int p1 = DbGet(c, x, y, dir, i, -2), p0 = DbGet(c, x, y, dir, i, -1);
+        int q0 = DbGet(c, x, y, dir, i, 0), q1 = DbGet(c, x, y, dir, i, 1);
+        int delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4;
+        if (abs(delta) >= threshold &&
+            !(c.dflags & D_WEAK_SAMPLE_DECISION))
+          continue;
+        if (delta < -tc) delta = -tc;
+        if (delta > tc) delta = tc;
+        auto clip_px = [&](int v) {
+          if (v < 0) return 0;
+          if (v > sample_max) return sample_max;
+          return v;
+        };
+        DbSet(c, x, y, dir, i, -1, clip_px(p0 + delta));
+        DbSet(c, x, y, dir, i, 0, clip_px(q0 - delta));
+        if (!(c.dflags & D_TWO_SAMPLES_WEAK_FILTER)) {
+          if (filter_p1) {
+            int p2 = DbGet(c, x, y, dir, i, -3);
+            int dp1 = ((((p2 + p0 + 1) >> 1) - p1 + delta) >> 1);
+            if (dp1 < -half_tc) dp1 = -half_tc;
+            if (dp1 > half_tc) dp1 = half_tc;
+            DbSet(c, x, y, dir, i, -2, clip_px(p1 + dp1));
+          }
+          if (filter_q1) {
+            int q2 = DbGet(c, x, y, dir, i, 2);
+            int dq1 = ((((q2 + q0 + 1) >> 1) - q1 - delta) >> 1);
+            if (dq1 < -half_tc) dq1 = -half_tc;
+            if (dq1 > half_tc) dq1 = half_tc;
+            DbSet(c, x, y, dir, i, 1, clip_px(q1 + dq1));
+          }
+        }
+      }
+    }
+  }
+}
+
+static void DeblockFilterEdgeChroma(DeblockCtx c, int32_t* planes[2],
+                                    int64_t strides[2], int x, int y,
+                                    int scale_x, int scale_y, int dir,
+                                    int subblock_size, int qp) {
+  int bitdepth_shift = c.bitdepth - 8;
+  int index_tc = qp + c.tc_offset + 2;
+  if (index_tc < 0) index_tc = 0;
+  if (index_tc > 53) index_tc = 53;
+  int tc = kDeblockTcTable[index_tc] << bitdepth_shift;
+  int scaled = dir == 0 ? (subblock_size >> scale_y)
+                        : (subblock_size >> scale_x);
+  int sample_max = (1 << c.bitdepth) - 1;
+  for (int comp = 0; comp < 2; comp++) {
+    c.plane = planes[comp];
+    c.stride = strides[comp];
+    for (int i = 0; i < scaled; i++) {
+      int p1 = DbGet(c, x, y, dir, i, -2), p0 = DbGet(c, x, y, dir, i, -1);
+      int q0 = DbGet(c, x, y, dir, i, 0), q1 = DbGet(c, x, y, dir, i, 1);
+      int delta = (((q0 - p0) * 4) + p1 - q1 + 4) >> 3;
+      if (delta < -tc) delta = -tc;
+      if (delta > tc) delta = tc;
+      int np0 = p0 + delta;
+      int nq0 = q0 - delta;
+      if (np0 < 0) np0 = 0;
+      if (np0 > sample_max) np0 = sample_max;
+      if (nq0 < 0) nq0 = 0;
+      if (nq0 > sample_max) nq0 = sample_max;
+      DbSet(c, x, y, dir, i, -1, np0);
+      DbSet(c, x, y, dir, i, 0, nq0);
+    }
+  }
+}
+
+// One direction pass over one CU tree.
+XVCN_API void xvcn_deblock_pass(
+    int32_t* y_plane, int64_t y_stride,
+    int32_t* u_plane, int64_t u_stride,
+    int32_t* v_plane, int64_t v_stride,
+    int pic_width, int pic_height, int bitdepth, int csx, int csy,
+    int ctu_size, int num_ctu_x, int num_ctu_y, int subblock_size,
+    int deblock_luma, int deblock_chroma, int pred_type_bi,
+    int beta_offset, int tc_offset, uint64_t dflags, int direction,
+    const int32_t* cu_map, int map_stride, const int32_t* cu_attr) {
+  DeblockCtx luma_ctx;
+  luma_ctx.plane = y_plane;
+  luma_ctx.stride = y_stride;
+  luma_ctx.bitdepth = bitdepth;
+  luma_ctx.beta_offset = beta_offset;
+  luma_ctx.tc_offset = tc_offset;
+  luma_ctx.dflags = dflags;
+  int32_t* cplanes[2] = {u_plane, v_plane};
+  int64_t cstrides[2] = {u_stride, v_stride};
+
+  for (int ctu_idx = 0; ctu_idx < num_ctu_x * num_ctu_y; ctu_idx++) {
+    int ctu_x = (ctu_idx % num_ctu_x) * ctu_size;
+    int ctu_y = (ctu_idx / num_ctu_x) * ctu_size;
+    for (int dy = 0; dy < ctu_size; dy += subblock_size) {
+      for (int dx = 0; dx < ctu_size; dx += subblock_size) {
+        int x = ctu_x + dx, y = ctu_y + dy;
+        if (x >= pic_width || y >= pic_height) continue;
+        int qi = cu_map[(y >> 2) * map_stride + (x >> 2)];
+        if (qi < 0) continue;
+        int pi = -1;
+        if (direction == 0) {
+          if (x > 0) pi = cu_map[(y >> 2) * map_stride + ((x - 1) >> 2)];
+        } else {
+          if (y > 0) pi = cu_map[((y - 1) >> 2) * map_stride + (x >> 2)];
+        }
+        if (pi < 0) continue;
+        const int32_t* q = cu_attr + (int64_t)qi * A_NUM;
+        const int32_t* p = cu_attr + (int64_t)pi * A_NUM;
+        if (p[A_POS_X] == q[A_POS_X] && p[A_POS_Y] == q[A_POS_Y]) continue;
+        int bs = DeblockBoundaryStrength(p, q, x, y, direction, pred_type_bi,
+                                         dflags);
+        if (!bs) continue;
+        int qp = (p[A_QP0] + q[A_QP0] + 1) >> 1;
+        if (dflags & D_DEPENDING_ON_QP) qp = 32;
+        if (deblock_luma)
+          DeblockFilterEdgeLuma(luma_ctx, x, y, direction, subblock_size, bs,
+                                qp);
+        if (deblock_chroma && bs == 2) {
+          int chroma_qp = (p[A_QP1] + q[A_QP1] + 1) >> 1;
+          if (dflags & D_DEPENDING_ON_QP) chroma_qp = 31;
+          int cx = x >> csx, cy = y >> csy;
+          if ((direction == 0 && (cx & 7) == 0) ||
+              (direction == 1 && (cy & 7) == 0)) {
+            DeblockFilterEdgeChroma(luma_ctx, cplanes, cstrides, cx, cy, csx,
+                                    csy, direction, subblock_size, chroma_qp);
+          }
+        }
+      }
+    }
+  }
+}

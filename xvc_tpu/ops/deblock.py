@@ -33,11 +33,15 @@ class DeblockingFilter:
         self.restr = restrictions
 
     def deblock_picture(self):
+        from .. import native as _native
         r = self.restr
         has_secondary = self.pic.has_secondary_cu_tree()
         num_ctus = self.pic.get_number_of_ctus()
         subblock_size = SUBBLOCK_SIZE if \
             r.disable_ext_deblock_subblock_size_4 else SUBBLOCK_SIZE_EXT
+        if _native.available():
+            self._deblock_picture_native(subblock_size, has_secondary)
+            return
         for direction in (0, 1):  # 0 = vertical edges, 1 = horizontal
             for rsaddr in range(num_ctus):
                 self._deblock_ctu(rsaddr, k.CuTree.PRIMARY, direction,
@@ -45,6 +49,96 @@ class DeblockingFilter:
                 if has_secondary:
                     self._deblock_ctu(rsaddr, k.CuTree.SECONDARY, direction,
                                       SUBBLOCK_SIZE)
+
+    def _build_cu_maps(self, cu_tree):
+        """Flat per-4x4 CU index map + per-CU attribute records for the
+        native pass (the host analog of the per-block attribute tensors
+        a TPU deblock kernel would consume)."""
+        pic = self.pic
+        map_w = (pic.width + 3) >> 2
+        map_h = (pic.height + 3) >> 2
+        cu_map = np.full((map_h, map_w), -1, np.int32)
+        attrs = []
+
+        def visit(cu):
+            if cu is None:
+                return
+            if cu.split != k.SplitType.NONE:
+                for sub in cu.sub_cus:
+                    visit(sub)
+                return
+            idx = len(attrs)
+            rec = [cu.pos_x, cu.pos_y, cu.width, cu.height,
+                   1 if cu.is_intra() else 0, 1 if cu.cbf[0] else 0,
+                   cu.qp.get_qp_raw(0), cu.qp.get_qp_raw(1),
+                   cu.get_ref_poc(0) if not cu.is_intra() else 0,
+                   cu.get_ref_poc(1) if not cu.is_intra() else 0,
+                   cu.ref_idx[0] if not cu.is_intra() else 0]
+            for lst in (0, 1):
+                for corner in range(4):
+                    mv = cu.mv[lst][corner]
+                    rec.append(int(mv[0]))
+                    rec.append(int(mv[1]))
+            attrs.append(rec)
+            x0, y0 = cu.pos_x >> 2, cu.pos_y >> 2
+            x1 = min(map_w, (cu.pos_x + cu.width + 3) >> 2)
+            y1 = min(map_h, (cu.pos_y + cu.height + 3) >> 2)
+            cu_map[y0:y1, x0:x1] = idx
+
+        for ctu in pic.ctus[int(cu_tree)]:
+            visit(ctu)
+        attr_arr = np.ascontiguousarray(
+            np.array(attrs, np.int32).reshape(len(attrs), -1)) \
+            if attrs else np.zeros((1, 27), np.int32)
+        return np.ascontiguousarray(cu_map), attr_arr
+
+    def _deblock_picture_native(self, subblock_size, has_secondary):
+        from .. import native as _native
+        pic = self.pic
+        rec = self.rec
+        lib = _native.LIB
+        dflags = _native.deblock_bits(self.restr)
+        pred_bi = 1 if pic.get_prediction_type() == \
+            k.PicturePredictionType.BI else 0
+        num_ctu_x = (pic.width + k.MAX_BLOCK_SIZE - 1) // k.MAX_BLOCK_SIZE
+        num_ctu_y = (pic.height + k.MAX_BLOCK_SIZE - 1) // k.MAX_BLOCK_SIZE
+
+        def origin_ptr(comp):
+            buf = rec.padded_plane(comp)
+            off = (rec.pad_y[comp] * buf.shape[1] + rec.pad_x[comp]) * 4
+            return buf.ctypes.data + off, buf.shape[1]
+
+        yp, ys = origin_ptr(0)
+        if pic.max_num_components > 1:
+            up, us = origin_ptr(1)
+            vp, vs = origin_ptr(2)
+        else:
+            up = us = vp = vs = 0
+        csx, csy = rec.shift_x[1], rec.shift_y[1]
+
+        passes = []  # (cu_tree, subblock, deblock_luma, deblock_chroma)
+        chroma_ok = (pic.max_num_components > 1 and
+                     not self.restr.disable_deblock_chroma_filter)
+        if has_secondary:
+            passes.append((k.CuTree.PRIMARY, subblock_size, True, False))
+            passes.append((k.CuTree.SECONDARY, SUBBLOCK_SIZE, False,
+                           chroma_ok))
+        else:
+            passes.append((k.CuTree.PRIMARY, subblock_size, True,
+                           chroma_ok))
+        built = {}
+        for direction in (0, 1):
+            for cu_tree, sbs, dl, dc in passes:
+                if cu_tree not in built:
+                    built[cu_tree] = self._build_cu_maps(cu_tree)
+                cu_map, attrs = built[cu_tree]
+                lib.xvcn_deblock_pass(
+                    yp, ys, up, us, vp, vs, pic.width, pic.height,
+                    pic.bitdepth, csx, csy, k.MAX_BLOCK_SIZE,
+                    num_ctu_x, num_ctu_y, sbs, 1 if dl else 0,
+                    1 if dc else 0, pred_bi, self.beta_offset,
+                    self.tc_offset, dflags, direction,
+                    cu_map.ctypes.data, cu_map.shape[1], attrs.ctypes.data)
 
     def _deblock_ctu(self, rsaddr, cu_tree, direction, subblock_size):
         r = self.restr
