@@ -167,6 +167,10 @@ def _bind(lib):
         c.c_int, c.c_int, c.c_int,
         c.c_int, c.c_int, c.c_uint64, c.c_int,
         c.c_void_p, c.c_int, c.c_void_p]
+    lib.xvcn_metric.restype = c.c_int64
+    lib.xvcn_metric.argtypes = [
+        c.c_int, c.c_void_p, c.c_int64, c.c_void_p, c.c_int64,
+        c.c_int, c.c_int, c.c_int, c.c_int, c.c_double]
     lib.xvcn_version.restype = c.c_int
     return lib
 

@@ -2187,3 +2187,199 @@ XVCN_API void xvcn_deblock_pass(
     }
   }
 }
+
+// ---- distortion metrics (ops/metrics.py, ref: sample_metric.cc) ----
+
+#include <cmath>
+
+enum MetricTypeId {
+  M_SSD = 0, M_SATD = 1, M_SAD = 2, M_SAD_FAST = 3, M_SAD_AC_ONLY = 4,
+  M_SAD_AC_ONLY_FAST = 5, M_SATD_AC_ONLY = 6, M_STRUCTURAL_SSD = 7,
+};
+
+// Hadamard matrices up to 16 (entries +-1), built once
+static int8_t kHad[5][16][16];  // index by log2(n): 1..4
+static bool kHadInit = []() {
+  for (int lg = 0; lg <= 4; lg++) {
+    int n = 1 << lg;
+    for (int i = 0; i < n; i++)
+      for (int j = 0; j < n; j++) {
+        int bits = i & j;
+        int par = 0;
+        while (bits) { par ^= bits & 1; bits >>= 1; }
+        kHad[lg][i][j] = par ? -1 : 1;
+      }
+  }
+  return true;
+}();
+
+static inline int ilog2(int v) { return 31 - __builtin_clz(v); }
+
+// |H_h * D * H_w| sum for a (bh x bw) block of the diff
+static int64_t SatdBlockSum(const int64_t* d, int bw, int bh) {
+  const int8_t (*hr)[16] = kHad[ilog2(bh)];
+  const int8_t (*hc)[16] = kHad[ilog2(bw)];
+  int64_t tmp[16][16];
+  for (int i = 0; i < bh; i++)
+    for (int j = 0; j < bw; j++) {
+      int64_t s = 0;
+      for (int t2 = 0; t2 < bh; t2++) s += hr[i][t2] * d[t2 * bw + j];
+      tmp[i][j] = s;
+    }
+  int64_t total = 0;
+  for (int i = 0; i < bh; i++)
+    for (int j = 0; j < bw; j++) {
+      int64_t s = 0;
+      for (int t2 = 0; t2 < bw; t2++) s += tmp[i][t2] * hc[t2][j];
+      total += s < 0 ? -s : s;
+    }
+  return total;
+}
+
+static int64_t SatdBlock(const int64_t* d, int bw, int bh) {
+  int64_t s = SatdBlockSum(d, bw, bh);
+  if (bw == 4 && bh == 4) return (s + 1) >> 1;
+  if (bw == bh) return (s + 2) >> 2;
+  return (int64_t)(2.0 * (double)s / sqrt((double)(bw * bh)));
+}
+
+static int64_t ComputeSatd(const int32_t* s1, int64_t st1, const int32_t* s2,
+                           int64_t st2, int w, int h, int bitdepth,
+                           int64_t dc_sub) {
+  int bw, bh;
+  if (w == 2 || h == 2) { bw = bh = 2; }
+  else if (w == 4 && h == 4) { bw = bh = 4; }
+  else if (h == 4 && w > h) { bw = 8; bh = 4; }
+  else if (w == 4 && h > w) { bw = 4; bh = 8; }
+  else if (w > h) { bw = 16; bh = 8; }
+  else if (w < h) { bw = 8; bh = 16; }
+  else { bw = bh = 8; }
+  int64_t total = 0;
+  int64_t d[256];
+  for (int y = 0; y < h; y += bh)
+    for (int x = 0; x < w; x += bw) {
+      for (int i = 0; i < bh; i++)
+        for (int j = 0; j < bw; j++)
+          d[i * bw + j] = (int64_t)s1[(y + i) * st1 + x + j] -
+                          s2[(y + i) * st2 + x + j] - dc_sub;
+      if (bw == 2)
+        total += SatdBlockSum(d, 2, 2);
+      else
+        total += SatdBlock(d, bw, bh);
+    }
+  return total >> (bitdepth - 8);
+}
+
+static int64_t TruncDiv(int64_t a, int64_t b) {
+  int64_t q = (a < 0 ? -a : a) / b;
+  return a >= 0 ? q : -q;
+}
+
+static int64_t StructuralBlock(int z, double strength, int size,
+                               const int32_t* s1, int64_t st1,
+                               const int32_t* s2, int64_t st2, int bitdepth) {
+  int64_t n = (int64_t)size * size;
+  int shift = 2 * (bitdepth - 8);
+  int64_t c1 = ((n * n * 26634) >> 12) << shift;
+  int64_t c2 = ((n * n * 239708) >> 12) << shift;
+  int64_t c4 = 255 * 255;
+  double wf = (4.0 * z - 0.054 * z * z - 70.0) * strength;
+  int64_t w = (int64_t)wf;
+  if (w < 0) w = 0;
+  w >>= 4;
+  int64_t w1 = 64 - (w >> 1);
+  int64_t w2 = 2 * w;
+  int64_t orig_sum = 0, reco_sum = 0, orig_orig = 0, reco_reco = 0,
+          orig_reco = 0, ssd = 0;
+  for (int i = 0; i < size; i++)
+    for (int j = 0; j < size; j++) {
+      int64_t a1 = s1[i * st1 + j], a2 = s2[i * st2 + j];
+      orig_sum += a1;
+      reco_sum += a2;
+      orig_orig += a1 * a1;
+      reco_reco += a2 * a2;
+      orig_reco += a1 * a2;
+      int64_t dd = a1 - a2;
+      ssd += dd * dd;
+    }
+  double m = (double)(orig_sum - reco_sum) / (double)n;
+  double a = ((double)c4 - m * m + (double)c1) / (double)(c4 + c1);
+  double b = (2.0 * (double)n * (double)orig_reco -
+              2.0 * (double)(orig_sum * reco_sum) + (double)c2) /
+             (double)(n * orig_orig - orig_sum * orig_sum +
+                      n * reco_reco - reco_sum * reco_sum + c2);
+  ssd >>= shift;
+  int64_t x = c4 >> ((8 - size) >> 1);
+  double t = (double)(w1 * ssd) + (double)(w2 * x) * (1.0 - a * b);
+  return ((int64_t)t) >> 6;
+}
+
+XVCN_API int64_t xvcn_metric(
+    int metric_type, const int32_t* s1, int64_t st1, const int32_t* s2,
+    int64_t st2, int w, int h, int bitdepth, int qp_raw_luma,
+    double structural_strength) {
+  int64_t dist = 0;
+  switch (metric_type) {
+    case M_SSD: {
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) {
+          int64_t d = (int64_t)s1[i * st1 + j] - s2[i * st2 + j];
+          dist += d * d;
+        }
+      return dist >> (2 * (bitdepth - 8));
+    }
+    case M_SAD: {
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) {
+          int64_t d = (int64_t)s1[i * st1 + j] - s2[i * st2 + j];
+          dist += d < 0 ? -d : d;
+        }
+      return dist >> (bitdepth - 8);
+    }
+    case M_SAD_FAST: {
+      for (int i = 0; i < h; i += 2)
+        for (int j = 0; j < w; j++) {
+          int64_t d = (int64_t)s1[i * st1 + j] - s2[i * st2 + j];
+          dist += d < 0 ? -d : d;
+        }
+      return (dist * 2) >> (bitdepth - 8);
+    }
+    case M_SAD_AC_ONLY:
+    case M_SAD_AC_ONLY_FAST: {
+      int step = metric_type == M_SAD_AC_ONLY_FAST ? 2 : 1;
+      int64_t delta_sum = 0;
+      for (int i = 0; i < h; i += step)
+        for (int j = 0; j < w; j++)
+          delta_sum += (int64_t)s1[i * st1 + j] - s2[i * st2 + j];
+      delta_sum *= step;
+      int64_t avg = TruncDiv(delta_sum, (int64_t)w * h);
+      for (int i = 0; i < h; i += step)
+        for (int j = 0; j < w; j++) {
+          int64_t d = (int64_t)s1[i * st1 + j] - s2[i * st2 + j] - avg;
+          dist += d < 0 ? -d : d;
+        }
+      return (dist * step) >> (bitdepth - 8);
+    }
+    case M_SATD:
+      return ComputeSatd(s1, st1, s2, st2, w, h, bitdepth, 0);
+    case M_SATD_AC_ONLY: {
+      int64_t sum = 0;
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++)
+          sum += (int64_t)s1[i * st1 + j] - s2[i * st2 + j];
+      int64_t avg = TruncDiv(sum, (int64_t)w * h);
+      return ComputeSatd(s1, st1, s2, st2, w, h, bitdepth, avg);
+    }
+    case M_STRUCTURAL_SSD: {
+      int size = (h < 8 || w < 8) ? 4 : 8;
+      for (int by = 0; by + size <= h; by += size)
+        for (int bx = 0; bx + size <= w; bx += size)
+          dist += StructuralBlock(qp_raw_luma, structural_strength, size,
+                                  s1 + by * st1 + bx, st1,
+                                  s2 + by * st2 + bx, st2, bitdepth);
+      return dist;
+    }
+    default:
+      return -1;
+  }
+}

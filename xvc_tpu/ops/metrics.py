@@ -162,7 +162,23 @@ class SampleMetric:
 
     def compare(self, qp, comp, src1, src2):
         """src1/src2: (h, w) integer arrays of identical shape."""
+        from .. import native as _native
         t = self.type
+        if _native.available():
+            a, b = src1, src2
+            if a.dtype != np.int32 or a.strides[1] != 4:
+                a = np.ascontiguousarray(a, np.int32)
+            if b.dtype != np.int32 or b.strides[1] != 4:
+                b = np.ascontiguousarray(b, np.int32)
+            mt = t
+            if t == MetricType.STRUCTURAL_SSD and comp != 0:
+                mt = MetricType.SSD
+            dist = _native.LIB.xvcn_metric(
+                mt, a.ctypes.data, a.strides[0] // 4, b.ctypes.data,
+                b.strides[0] // 4, a.shape[1], a.shape[0], self.bitdepth,
+                qp.get_qp_raw(0), float(self.structural_strength))
+            weight = qp.distortion_weight[comp]
+            return int(dist * weight)
         diff = src1.astype(np.int64) - src2.astype(np.int64)
         if t == MetricType.SSD:
             dist = compute_ssd(diff, self.bitdepth)
