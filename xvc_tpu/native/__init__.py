@@ -171,6 +171,15 @@ def _bind(lib):
     lib.xvcn_metric.argtypes = [
         c.c_int, c.c_void_p, c.c_int64, c.c_void_p, c.c_int64,
         c.c_int, c.c_int, c.c_int, c.c_int, c.c_double]
+    lib.xvcn_intra_filter_ref.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int, c.c_int, c.c_void_p, c.c_void_p]
+    lib.xvcn_intra_pred_dc.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int, c.c_int, c.c_int, c.c_void_p]
+    lib.xvcn_intra_pred_planar.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int, c.c_int, c.c_void_p]
+    lib.xvcn_intra_pred_angular.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int, c.c_int, c.c_int, c.c_int,
+        c.c_int, c.c_int, c.c_int, c.c_void_p]
     lib.xvcn_version.restype = c.c_int
     return lib
 

@@ -2383,3 +2383,174 @@ XVCN_API int64_t xvcn_metric(
       return -1;
   }
 }
+
+// ---- intra prediction (ops/intra_pred.py, ref: intra_prediction.cc) ----
+
+static const int kAngleTable[17] = {-32, -26, -21, -17, -13, -9, -5, -2, 0,
+                                    2, 5, 9, 13, 17, 21, 26, 32};
+static const int kAngleTableExt[33] = {
+    -32, -29, -26, -23, -21, -19, -17, -15, -13, -11, -9, -7,
+    -5, -3, -2, -1, 0, 1, 2, 3, 5, 7, 9, 11, 13, 15, 17, 19,
+    21, 23, 26, 29, 32};
+static const int kInvAngleTable[8] = {4096, 1638, 910, 630, 482, 390, 315,
+                                      256};
+static const int kInvAngleTableExt[16] = {8192, 4096, 2731, 1638, 1170, 910,
+                                          745, 630, 546, 482, 431, 390, 356,
+                                          315, 282, 256};
+
+// [1 2 1] reference filter (ref: intra_prediction.cc:850-871)
+XVCN_API void xvcn_intra_filter_ref(const int32_t* top, const int32_t* left,
+                                    int width, int height, int32_t* ftop,
+                                    int32_t* fleft) {
+  int n = width + height;
+  ftop[0] = ((top[0] << 1) + top[1] + left[0] + 2) >> 2;
+  for (int x = 1; x < n; x++)
+    ftop[x] = ((top[x] << 1) + top[x - 1] + top[x + 1] + 2) >> 2;
+  ftop[n] = top[n];
+  fleft[0] = ((left[0] << 1) + top[0] + left[1] + 2) >> 2;
+  for (int y = 1; y < n - 1; y++)
+    fleft[y] = ((left[y] << 1) + left[y - 1] + left[y + 1] + 2) >> 2;
+  fleft[n - 1] = left[n - 1];
+}
+
+// (ref: intra_prediction.cc:365-399); dc_filter handled by caller flag
+XVCN_API void xvcn_intra_pred_dc(const int32_t* top, const int32_t* left,
+                                 int width, int height, int dc_filter,
+                                 int32_t* out) {
+  int64_t sum = 0;
+  for (int x = 0; x < width; x++) sum += top[1 + x];
+  for (int y = 0; y < height; y++) sum += left[y];
+  int total = width + height;
+  int dc_val = (int)((sum + (total >> 1)) / total);
+  for (int i = 0; i < width * height; i++) out[i] = dc_val;
+  if (dc_filter) {
+    for (int y = height - 1; y > 0; y--)
+      out[y * width] = (left[y] + 3 * out[y * width] + 2) >> 2;
+    for (int x = 1; x < width; x++)
+      out[x] = (top[1 + x] + 3 * out[x] + 2) >> 2;
+    out[0] = (top[1] + left[0] + 2 * out[0] + 2) >> 2;
+  }
+}
+
+// (ref: intra_prediction.cc:401-423)
+XVCN_API void xvcn_intra_pred_planar(const int32_t* top, const int32_t* left,
+                                     int width, int height, int32_t* out) {
+  int wl2 = ilog2(width), hl2 = ilog2(height);
+  int64_t top_right = top[1 + width];
+  int64_t bottom_left = left[height];
+  int shift = wl2 + hl2 + 1;
+  int64_t offset = 1ll << (shift - 1);
+  for (int y = 0; y < height; y++)
+    for (int x = 0; x < width; x++) {
+      int64_t hor = (int64_t)(height - 1 - y) * top[1 + x] +
+                    (int64_t)(y + 1) * bottom_left;
+      int64_t ver = (int64_t)(width - 1 - x) * left[y] +
+                    (int64_t)(x + 1) * top_right;
+      out[y * width + x] = (int32_t)(((hor << wl2) + (ver << hl2) + offset)
+                                     >> shift);
+    }
+}
+
+// (ref: intra_prediction.cc:425-558); flags: bit0 = ver/hor post filter
+// disabled
+XVCN_API void xvcn_intra_pred_angular(const int32_t* top_in,
+                                      const int32_t* left_in, int width,
+                                      int height, int mode, int ext67,
+                                      int post_filter, int disable_vh_post,
+                                      int bitdepth, int32_t* out) {
+  int diag = ext67 ? 34 : 18;
+  int hor_mode = ext67 ? 18 : 10;
+  int ver_mode = ext67 ? 50 : 26;
+  bool is_horizontal = mode < diag;
+
+  static thread_local int32_t flip_top[2 * 128 + 1];
+  static thread_local int32_t flip_left[2 * 128];
+  const int32_t *t, *l;
+  int w, h, angle_offset;
+  if (is_horizontal) {
+    int top_size = width + height;
+    flip_top[0] = top_in[0];
+    for (int i = 0; i < top_size; i++) flip_top[1 + i] = left_in[i];
+    for (int i = 0; i < top_size; i++) flip_left[i] = top_in[1 + i];
+    t = flip_top;
+    l = flip_left;
+    w = height;
+    h = width;
+    angle_offset = hor_mode - mode;
+  } else {
+    t = top_in;
+    l = left_in;
+    w = width;
+    h = height;
+    angle_offset = mode - ver_mode;
+  }
+  int angle = ext67 ? kAngleTableExt[16 + angle_offset]
+                    : kAngleTable[8 + angle_offset];
+  int max_val = (1 << bitdepth) - 1;
+
+  static thread_local int32_t tmp_out[128 * 128];
+  int32_t* o = is_horizontal ? tmp_out : out;
+
+  if (angle == 0) {
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++) o[y * w + x] = t[1 + x];
+    if (post_filter && !disable_vh_post) {
+      int above_left = t[0];
+      int above = t[1];
+      for (int y = 0; y < h; y++) {
+        int val = above + ((l[y] - above_left) >> 1);
+        if (val < 0) val = 0;
+        if (val > max_val) val = max_val;
+        o[y * w] = val;
+      }
+    }
+  } else {
+    static thread_local int32_t ref_buf[4 * 128 + 2];
+    const int32_t* ref_line;
+    int ref_off;
+    if (angle < 0) {
+      int num_projected = -((h * angle) >> 5) - 1;
+      int base = num_projected + 1;
+      for (int i = 0; i <= w; i++) ref_buf[base - 1 + i] = t[i];
+      const int* inv_tab = ext67 ? kInvAngleTableExt : kInvAngleTable;
+      int inv_angle = inv_tab[-angle_offset - 1];
+      int inv_angle_sum = 128;
+      for (int i = 0; i < num_projected; i++) {
+        inv_angle_sum += inv_angle;
+        ref_buf[base - 2 - i] = l[(inv_angle_sum >> 8) - 1];
+      }
+      ref_line = ref_buf;
+      ref_off = base;
+    } else {
+      ref_line = t;
+      ref_off = 1;
+    }
+    int angle_sum = 0;
+    for (int y = 0; y < h; y++) {
+      angle_sum += angle;
+      int offset = angle_sum >> 5;
+      int iw = angle_sum & 31;
+      const int32_t* seg = ref_line + ref_off + offset;
+      if (iw) {
+        for (int x = 0; x < w; x++)
+          o[y * w + x] = (int32_t)(((int64_t)(32 - iw) * seg[x] +
+                                    (int64_t)iw * seg[x + 1] + 16) >> 5);
+      } else {
+        for (int x = 0; x < w; x++) o[y * w + x] = seg[x];
+      }
+    }
+    if (post_filter && (angle >= -1 && angle <= 1) && ext67 &&
+        !disable_vh_post) {
+      for (int y = 0; y < h; y++) {
+        int val = o[y * w] + ((l[y] - t[0]) >> 2);
+        if (val < 0) val = 0;
+        if (val > max_val) val = max_val;
+        o[y * w] = val;
+      }
+    }
+  }
+  if (is_horizontal) {
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++) out[x * width + y] = o[y * w + x];
+  }
+}

@@ -146,6 +146,14 @@ def compute_ref_samples(width, height, rec, px, py,
 
 def filter_ref_samples(width, height, top, left):
     """[1 2 1] reference filter (ref: intra_prediction.cc:850-871)."""
+    from .. import native as _native
+    if _native.available():
+        ftop = np.empty_like(top)
+        fleft = np.empty_like(left)
+        _native.LIB.xvcn_intra_filter_ref(
+            top.ctypes.data, left.ctypes.data, width, height,
+            ftop.ctypes.data, fleft.ctypes.data)
+        return ftop, fleft
     n = width + height
     ftop = top.copy()
     fleft = left.copy()
@@ -162,6 +170,15 @@ def filter_ref_samples(width, height, top, left):
 
 def pred_dc(width, height, top, left, dc_filter, restrictions):
     """(ref: intra_prediction.cc:365-399). Uses UNfiltered refs."""
+    from .. import native as _native
+    if _native.available():
+        out = np.empty((height, width), dtype=np.int32)
+        do_filter = dc_filter and \
+            not restrictions.disable_intra_dc_post_filter
+        _native.LIB.xvcn_intra_pred_dc(
+            top.ctypes.data, left.ctypes.data, width, height,
+            1 if do_filter else 0, out.ctypes.data)
+        return out
     ssum = int(np.sum(top[1:1 + width])) + int(np.sum(left[:height]))
     total = width + height
     dc_val = (ssum + (total >> 1)) // total
@@ -177,6 +194,13 @@ def pred_dc(width, height, top, left, dc_filter, restrictions):
 
 def pred_planar(width, height, top, left):
     """(ref: intra_prediction.cc:401-423)"""
+    from .. import native as _native
+    if _native.available():
+        out = np.empty((height, width), dtype=np.int32)
+        _native.LIB.xvcn_intra_pred_planar(
+            top.ctypes.data, left.ctypes.data, width, height,
+            out.ctypes.data)
+        return out
     wl2 = width.bit_length() - 1
     hl2 = height.bit_length() - 1
     above = top[1:1 + width].astype(np.int64)
@@ -196,7 +220,16 @@ def pred_planar(width, height, top, left):
 def pred_angular(width, height, mode, top, left, post_filter, bitdepth,
                  restrictions):
     """(ref: intra_prediction.cc:425-558)"""
+    from .. import native as _native
     ext = not restrictions.disable_ext2_intra_67_modes
+    if _native.available():
+        out = np.empty((height, width), dtype=np.int32)
+        _native.LIB.xvcn_intra_pred_angular(
+            top.ctypes.data, left.ctypes.data, width, height, int(mode),
+            1 if ext else 0, 1 if post_filter else 0,
+            1 if restrictions.disable_intra_ver_hor_post_filter else 0,
+            bitdepth, out.ctypes.data)
+        return out
     diag = convert_angle(k.IntraAngle.DIAGONAL, restrictions)
     hor_mode = convert_angle(k.IntraAngle.HORIZONTAL, restrictions)
     ver_mode = convert_angle(k.IntraAngle.VERTICAL, restrictions)
