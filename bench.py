@@ -27,7 +27,7 @@ def main():
     from xvc_tpu.tpu import analysis as an
 
     n, bitdepth = 8, 8
-    w, h, frames = 352, 288, 4
+    w, h, frames = 352, 288, 32
     rng = np.random.RandomState(0)
     origs, tops, lefts = [], [], []
     for _ in range(frames):
@@ -42,13 +42,15 @@ def main():
     fn = an.make_intra_satd_fn(n, bitdepth)
 
     jax.block_until_ready(fn(orig, top, left))  # compile + warmup
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(orig, top, left)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    mpix_s = (w * h * frames) / dt / 1e6
+    iters = 10
+    best = float("inf")
+    for _ in range(3):  # best-of-3 to damp host<->device tunnel jitter
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(orig, top, left)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    mpix_s = (w * h * frames) / best / 1e6
     print(json.dumps({
         "metric": "intra_analysis_67mode_throughput",
         "value": round(mpix_s, 3),
