@@ -683,6 +683,37 @@ class InterSearch(inter_pred.InterPredictor):
                     px + cx + mv_x:px + cx + mv_x + cu.width]
         return metric.compare(qp, 0, orig_buffer, blk)
 
+    def _make_dist_fullpel(self, cu, qp, metric, ref_pic, orig_buffer):
+        """Hoist the per-candidate pointer math out of the fullpel ME
+        loop: the returned closure issues one native metric call per
+        motion vector candidate (the hottest loop in the encoder)."""
+        from .. import native as _native
+        if not (_native.available() and orig_buffer.dtype == np.int32 and
+                orig_buffer.strides[1] == 4 and
+                qp.distortion_weight[0] == 1.0):
+            def slow(mv_x, mv_y):
+                return self._dist_fullpel(cu, qp, metric, ref_pic,
+                                          orig_buffer, mv_x, mv_y)
+            return slow
+        fn = _native.LIB.xvcn_metric
+        cx, cy = cu.pos(0)
+        plane = ref_pic.padded_plane(0)
+        stride = plane.shape[1]
+        base = plane.ctypes.data + \
+            4 * ((ref_pic.pad_y[0] + cy) * stride + ref_pic.pad_x[0] + cx)
+        optr = orig_buffer.ctypes.data
+        ostride = orig_buffer.strides[0] // 4
+        w, h = cu.width, cu.height
+        mt = metric.type
+        bd = metric.bitdepth
+        qraw = qp.get_qp_raw(0)
+        strength = float(metric.structural_strength)
+
+        def fast(mv_x, mv_y):
+            return fn(mt, optr, ostride, base + 4 * (mv_y * stride + mv_x),
+                      stride, w, h, bd, qraw, strength)
+        return fast
+
     def _full_search(self, cu, qp, metric, mvp, ref_pic, mv_min, mv_max,
                      orig_buffer):
         """(ref: inter_search.cc:853-891)"""
@@ -690,10 +721,11 @@ class InterSearch(inter_pred.InterPredictor):
         lam = int(math.floor(65536.0 * qp.lambda_sqrt))
         cost_best = _COST_MAX
         mv_best = (0, 0)
+        dist_fullpel = self._make_dist_fullpel(cu, qp, metric, ref_pic,
+                                               orig_buffer)
         for mv_y in range(mv_min[1], mv_max[1] + 1):
             for mv_x in range(mv_min[0], mv_max[0] + 1):
-                dist = self._dist_fullpel(cu, qp, metric, ref_pic,
-                                          orig_buffer, mv_x, mv_y)
+                dist = dist_fullpel(mv_x, mv_y)
                 if dist >= cost_best:
                     continue
                 bits = get_mvd_bits_fullpel(mvp, mv_x, mv_y, mvd_precision)
@@ -714,9 +746,11 @@ class InterSearch(inter_pred.InterPredictor):
         st = {"best": (0, 0), "cost": _COST_MAX, "last_pos": 0,
               "last_range": 0}
 
+        dist_fullpel = self._make_dist_fullpel(cu, qp, metric, ref_pic,
+                                               orig_buffer)
+
         def check_cost_best(mv_x, mv_y):
-            dist = self._dist_fullpel(cu, qp, metric, ref_pic, orig_buffer,
-                                      mv_x, mv_y)
+            dist = dist_fullpel(mv_x, mv_y)
             if dist >= st["cost"]:
                 return False
             bits = get_mvd_bits_fullpel(mvp, mv_x, mv_y, mvd_downshift)
