@@ -140,8 +140,28 @@ def _filters(comp, restr):
         else (CHROMA_FILTER, NUM_TAPS_CHROMA)
 
 
+def _mc_native(ctx, x0, y0, frac_x, frac_y, mode):
+    from .. import native as _native
+    lib = _native.LIB
+    plane = ctx.ref_pic.padded_plane(ctx.comp)
+    stride = plane.shape[1]
+    base = plane.ctypes.data + \
+        4 * (ctx.ref_pic.pad_y[ctx.comp] * stride +
+             ctx.ref_pic.pad_x[ctx.comp])
+    out = np.empty((ctx.height, ctx.width), dtype=np.int32)
+    lib.xvcn_mc_unipred(
+        mode, base, stride, x0, y0, ctx.width, ctx.height, frac_x, frac_y,
+        ctx.bitdepth, 1 if ctx.comp == 0 else 0,
+        0 if ctx.restr.disable_ext2_inter_high_precision_mv else 1,
+        out.ctypes.data)
+    return out
+
+
 def mc_unipred_sample(ctx, x0, y0, frac_x, frac_y):
     """Sub-pel MC producing final samples (uni-pred path)."""
+    from .. import native as _native
+    if _native.available():
+        return _mc_native(ctx, x0, y0, frac_x, frac_y, 0)
     w, h = ctx.width, ctx.height
     bd = ctx.bitdepth
     max_val = (1 << bd) - 1
@@ -186,6 +206,9 @@ def mc_unipred_sample(ctx, x0, y0, frac_x, frac_y):
 
 def mc_unipred_short(ctx, x0, y0, frac_x, frac_y):
     """Sub-pel MC producing 14-bit intermediates (bi-pred path)."""
+    from .. import native as _native
+    if _native.available():
+        return _mc_native(ctx, x0, y0, frac_x, frac_y, 1).astype(np.int16)
     w, h = ctx.width, ctx.height
     bd = ctx.bitdepth
     if frac_x == 0 and frac_y == 0:

@@ -180,6 +180,9 @@ def _bind(lib):
     lib.xvcn_intra_pred_angular.argtypes = [
         c.c_void_p, c.c_void_p, c.c_int, c.c_int, c.c_int, c.c_int,
         c.c_int, c.c_int, c.c_int, c.c_void_p]
+    lib.xvcn_mc_unipred.argtypes = [
+        c.c_int, c.c_void_p, c.c_int64, c.c_int, c.c_int, c.c_int, c.c_int,
+        c.c_int, c.c_int, c.c_int, c.c_int, c.c_int, c.c_void_p]
     lib.xvcn_version.restype = c.c_int
     return lib
 

@@ -2554,3 +2554,172 @@ XVCN_API void xvcn_intra_pred_angular(const int32_t* top_in,
       for (int x = 0; x < w; x++) out[x * width + y] = o[y * w + x];
   }
 }
+
+// ---- sub-pel motion compensation (codec/inter_mc.py,
+//      ref: inter_prediction.cc:1174-1378 + simd kernels) ----
+
+static const int16_t kMcLumaFilter[4][8] = {
+    {0, 0, 0, 64, 0, 0, 0, 0},
+    {-1, 4, -10, 58, 17, -5, 1, 0},
+    {-1, 4, -11, 40, 40, -11, 4, -1},
+    {0, 1, -5, 17, 58, -10, 4, -1}};
+static const int16_t kMcLumaFilterHp[16][8] = {
+    {0, 0, 0, 64, 0, 0, 0, 0},      {0, 1, -3, 63, 4, -2, 1, 0},
+    {-1, 2, -5, 62, 8, -3, 1, 0},   {-1, 3, -8, 60, 13, -4, 1, 0},
+    {-1, 4, -10, 58, 17, -5, 1, 0}, {-1, 4, -11, 52, 26, -8, 3, -1},
+    {-1, 3, -9, 47, 31, -10, 4, -1}, {-1, 4, -11, 45, 34, -10, 4, -1},
+    {-1, 4, -11, 40, 40, -11, 4, -1}, {-1, 4, -10, 34, 45, -11, 4, -1},
+    {-1, 4, -10, 31, 47, -9, 3, -1}, {-1, 3, -8, 26, 52, -11, 4, -1},
+    {0, 1, -5, 17, 58, -10, 4, -1}, {0, 1, -4, 13, 60, -8, 3, -1},
+    {0, 1, -3, 8, 62, -5, 2, -1},   {0, 1, -2, 4, 63, -3, 1, 0}};
+static const int16_t kMcChromaFilter[8][4] = {
+    {0, 64, 0, 0},   {-2, 58, 10, -2}, {-4, 54, 16, -2}, {-6, 46, 28, -4},
+    {-4, 36, 36, -4}, {-4, 28, 46, -6}, {-2, 16, 54, -4}, {-2, 10, 58, -2}};
+static const int16_t kMcChromaFilterHp[32][4] = {
+    {0, 64, 0, 0},   {-1, 63, 2, 0},  {-2, 62, 4, 0},  {-2, 60, 7, -1},
+    {-2, 58, 10, -2}, {-3, 57, 12, -2}, {-4, 56, 14, -2}, {-4, 55, 15, -2},
+    {-4, 54, 16, -2}, {-5, 53, 18, -2}, {-6, 52, 20, -2}, {-6, 49, 24, -3},
+    {-6, 46, 28, -4}, {-5, 44, 29, -4}, {-4, 42, 30, -4}, {-4, 39, 33, -4},
+    {-4, 36, 36, -4}, {-4, 33, 39, -4}, {-4, 30, 42, -4}, {-4, 29, 44, -5},
+    {-4, 28, 46, -6}, {-3, 24, 49, -6}, {-2, 20, 52, -6}, {-2, 18, 53, -5},
+    {-2, 16, 54, -4}, {-2, 15, 55, -4}, {-2, 14, 56, -4}, {-2, 12, 57, -3},
+    {-2, 10, 58, -2}, {-1, 7, 60, -2}, {0, 4, 62, -2},  {0, 2, 63, -1}};
+
+static const int kMcInternalPrecision = 14;
+static const int kMcFilterPrecision = 6;
+static const int kMcInternalOffset = 1 << (kMcInternalPrecision - 1);
+
+// mode 0: final samples (clipped); mode 1: 14-bit short intermediates
+// (values equal the reference's int16 intermediates).
+XVCN_API void xvcn_mc_unipred(
+    int mode, const int32_t* plane, int64_t stride, int x0, int y0,
+    int w, int h, int frac_x, int frac_y, int bitdepth, int is_luma,
+    int high_prec, int32_t* out) {
+  const int32_t* src0 = plane + (int64_t)y0 * stride + x0;
+  int max_val = (1 << bitdepth) - 1;
+  if (frac_x == 0 && frac_y == 0) {
+    if (mode == 0) {
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) {
+          int v = src0[i * stride + j];
+          if (v < 0) v = 0;
+          if (v > max_val) v = max_val;
+          out[i * w + j] = v;
+        }
+    } else {
+      int shift = kMcInternalPrecision - bitdepth;
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) {
+          int16_t v = (int16_t)(src0[i * stride + j] << shift);
+          out[i * w + j] = (int16_t)(v - kMcInternalOffset);
+        }
+    }
+    return;
+  }
+  int taps = is_luma ? 8 : 4;
+  const int16_t* fx;
+  const int16_t* fy;
+  if (is_luma) {
+    fx = high_prec ? kMcLumaFilterHp[frac_x] : kMcLumaFilter[frac_x];
+    fy = high_prec ? kMcLumaFilterHp[frac_y] : kMcLumaFilter[frac_y];
+  } else {
+    fx = high_prec ? kMcChromaFilterHp[frac_x] : kMcChromaFilter[frac_x];
+    fy = high_prec ? kMcChromaFilterHp[frac_y] : kMcChromaFilter[frac_y];
+  }
+  int half = taps / 2 - 1;
+  int shift1 = kMcFilterPrecision - (kMcInternalPrecision - bitdepth);
+  int64_t offset1 = shift1 >= 0 ? -((int64_t)kMcInternalOffset << shift1) : 0;
+
+  if (frac_y == 0) {
+    const int32_t* s = plane + (int64_t)y0 * stride + x0 - half;
+    if (mode == 0) {
+      int shift = kMcFilterPrecision;
+      int64_t offset = 1ll << (shift - 1);
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) {
+          int64_t sum = 0;
+          for (int t2 = 0; t2 < taps; t2++)
+            sum += (int64_t)fx[t2] * s[i * stride + j + t2];
+          int64_t v = (sum + offset) >> shift;
+          if (v < 0) v = 0;
+          if (v > max_val) v = max_val;
+          out[i * w + j] = (int32_t)v;
+        }
+    } else {
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) {
+          int64_t sum = 0;
+          for (int t2 = 0; t2 < taps; t2++)
+            sum += (int64_t)fx[t2] * s[i * stride + j + t2];
+          out[i * w + j] = (int16_t)((sum + offset1) >> shift1);
+        }
+    }
+    return;
+  }
+  if (frac_x == 0) {
+    const int32_t* s = plane + (int64_t)(y0 - half) * stride + x0;
+    if (mode == 0) {
+      int shift = kMcFilterPrecision;
+      int64_t offset = 1ll << (shift - 1);
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) {
+          int64_t sum = 0;
+          for (int t2 = 0; t2 < taps; t2++)
+            sum += (int64_t)fy[t2] * s[(i + t2) * stride + j];
+          // reference casts to int16 before the final clip
+          int v = (int16_t)((sum + offset) >> shift);
+          if (v < 0) v = 0;
+          if (v > max_val) v = max_val;
+          out[i * w + j] = v;
+        }
+    } else {
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) {
+          int64_t sum = 0;
+          for (int t2 = 0; t2 < taps; t2++)
+            sum += (int64_t)fy[t2] * s[(i + t2) * stride + j];
+          out[i * w + j] = (int16_t)((sum + offset1) >> shift1);
+        }
+    }
+    return;
+  }
+  // two-stage: horizontal into int16 intermediates, then vertical
+  static thread_local int16_t tmp[(64 + 8) * 64];
+  const int32_t* s = plane + (int64_t)(y0 - half) * stride + x0 - half;
+  int th = h + taps - 1;
+  for (int i = 0; i < th; i++)
+    for (int j = 0; j < w; j++) {
+      int64_t sum = 0;
+      for (int t2 = 0; t2 < taps; t2++)
+        sum += (int64_t)fx[t2] * s[i * stride + j + t2];
+      int64_t v;
+      if (shift1 >= 0)
+        v = (sum + offset1) >> shift1;
+      else
+        v = (sum - (kMcInternalOffset >> -shift1)) << -shift1;
+      tmp[i * w + j] = (int16_t)v;
+    }
+  if (mode == 0) {
+    int shift2 = kMcFilterPrecision + (kMcInternalPrecision - bitdepth);
+    int64_t offset2 = ((int64_t)kMcInternalOffset << kMcFilterPrecision) +
+                      (1ll << (shift2 - 1));
+    for (int i = 0; i < h; i++)
+      for (int j = 0; j < w; j++) {
+        int64_t sum = 0;
+        for (int t2 = 0; t2 < taps; t2++)
+          sum += (int64_t)fy[t2] * tmp[(i + t2) * w + j];
+        int v = (int16_t)((sum + offset2) >> shift2);
+        if (v < 0) v = 0;
+        if (v > max_val) v = max_val;
+        out[i * w + j] = v;
+      }
+  } else {
+    for (int i = 0; i < h; i++)
+      for (int j = 0; j < w; j++) {
+        int64_t sum = 0;
+        for (int t2 = 0; t2 < taps; t2++)
+          sum += (int64_t)fy[t2] * tmp[(i + t2) * w + j];
+        out[i * w + j] = (int16_t)(sum >> kMcFilterPrecision);
+      }
+  }
+}
