@@ -50,6 +50,16 @@ def test_output_conversion_bit_exact(tag, kw):
     assert out == read_data(f"ai64x48_out_{tag}.yuv")
 
 
+@pytest.mark.parametrize("cm,tag", [(0, "argb"), (1, "argb601")])
+def test_output_argb_bit_exact(cm, tag):
+    """ARGB packed output with color-matrix conversion
+    (ref: resample.cc:396-475 ConvertColorSpace)."""
+    pics = decode_all(read_data("ai64x48.xvc"), output_chroma_format=4,
+                      output_color_matrix=cm)
+    out = b"".join(p.bytes for p in pics)
+    assert out == read_data(f"ai64x48_out_{tag}.yuv")
+
+
 def test_output_dither_bit_exact():
     pics = decode_all(read_data("ai64x48b10.xvc"), output_bitdepth=8,
                       dither=1)

@@ -86,6 +86,9 @@ def make_output_conversion_vectors():
         ("mono", ["-output-chroma-format", "0"]),
         ("bd10", ["-output-bitdepth", "10"]),
         ("down44x36", ["-output-width", "44", "-output-height", "36"]),
+        ("argb", ["-output-chroma-format", "4", "-simd-mask", "0"]),
+        ("argb601", ["-output-chroma-format", "4",
+                     "-output-color-matrix", "1", "-simd-mask", "0"]),
     ]
     for tag, args in cases:
         subprocess.run([REF_DEC, "-bitstream-file",
