@@ -249,6 +249,35 @@ def make_resolution_vectors():
                         "-simd-mask", "0"], check=True, capture_output=True)
 
 
+def make_bitdepth_encapsulation_vectors():
+    """12-bit coding + encapsulation-mode vectors."""
+    open(os.path.join(OUT, "b12_in.yuv"), "wb").write(
+        synth_yuv420(32, 32, 2, 12))
+    subprocess.run([REF_ENC, "-input-file", os.path.join(OUT, "b12_in.yuv"),
+                    "-output-file", os.path.join(OUT, "b12.xvc"),
+                    "-input-width", "32", "-input-height", "32",
+                    "-input-bitdepth", "12", "-internal-bitdepth", "12",
+                    "-qp", "32", "-checksum-mode", "1",
+                    "-sub-gop-length", "1", "-num-ref-pics", "0"],
+                   check=True, capture_output=True)
+    subprocess.run([REF_DEC, "-bitstream-file", os.path.join(OUT, "b12.xvc"),
+                    "-output-file", os.path.join(OUT, "b12_dec.yuv"),
+                    "-simd-mask", "0"], check=True, capture_output=True)
+    subprocess.run([REF_ENC, "-input-file",
+                    os.path.join(OUT, "ai64x48_in.yuv"), "-output-file",
+                    os.path.join(OUT, "enc_encap.xvc"),
+                    "-input-width", "64", "-input-height", "48",
+                    "-input-bitdepth", "8", "-internal-bitdepth", "8",
+                    "-qp", "32", "-checksum-mode", "1", "-sub-gop-length",
+                    "1", "-num-ref-pics", "0",
+                    "-explicit-encoder-settings", "encapsulation_mode 1"],
+                   check=True, capture_output=True)
+    subprocess.run([REF_DEC, "-bitstream-file",
+                    os.path.join(OUT, "enc_encap.xvc"), "-output-file",
+                    os.path.join(OUT, "enc_encap_dec.yuv"),
+                    "-simd-mask", "0"], check=True, capture_output=True)
+
+
 def main():
     ai = ["-sub-gop-length", "1", "-num-ref-pics", "0"]
     # All-intra tiny: primary bring-up vector
@@ -277,6 +306,7 @@ def main():
     make_speed_mode_vectors()
     make_chroma_format_vectors()
     make_resolution_vectors()
+    make_bitdepth_encapsulation_vectors()
     print("done")
 
 

@@ -422,7 +422,11 @@ class Encoder:
                 return
             self.doc_bitstream_order.pop(0)
             if nal.nal_unit_type == int(k.NalUnitType.INTRA_ACCESS_PICTURE):
-                sh_bytes = seg.write_segment_header(self.segment_header,
+                sh_prefix = b""
+                if self.settings.encapsulation_mode != 0:
+                    sh_prefix = bytes([k.ENCAPSULATION_CODE, 1])
+                sh_bytes = sh_prefix + \
+                    seg.write_segment_header(self.segment_header,
                                                     self.framerate)
                 self.api_output_nals.append(EncodedNal(
                     sh_bytes, 0, int(k.NalUnitType.SEGMENT_HEADER), 0, 0,
