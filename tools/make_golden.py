@@ -278,6 +278,21 @@ def make_bitdepth_encapsulation_vectors():
                     "-simd-mask", "0"], check=True, capture_output=True)
 
 
+def make_closed_gop_vector():
+    subprocess.run([REF_ENC, "-input-file",
+                    os.path.join(OUT, "sp48x32_in.yuv"), "-output-file",
+                    os.path.join(OUT, "cg48x32.xvc"), "-input-width", "48",
+                    "-input-height", "32", "-input-bitdepth", "8",
+                    "-internal-bitdepth", "8", "-qp", "32", "-checksum-mode",
+                    "1", "-sub-gop-length", "2", "-max-keypic-distance", "2",
+                    "-closed-gop", "1", "-num-ref-pics", "1"], check=True,
+                   capture_output=True)
+    subprocess.run([REF_DEC, "-bitstream-file",
+                    os.path.join(OUT, "cg48x32.xvc"), "-output-file",
+                    os.path.join(OUT, "cg48x32_dec.yuv"), "-simd-mask", "0"],
+                   check=True, capture_output=True)
+
+
 def main():
     ai = ["-sub-gop-length", "1", "-num-ref-pics", "0"]
     # All-intra tiny: primary bring-up vector
@@ -307,6 +322,7 @@ def main():
     make_chroma_format_vectors()
     make_resolution_vectors()
     make_bitdepth_encapsulation_vectors()
+    make_closed_gop_vector()
     print("done")
 
 
