@@ -87,3 +87,13 @@ def test_scalability_reference_rescaling():
             # the identical NAL; ours is pinned by the checksum instead.
             continue
         assert p.bytes == want[i * fs:(i + 1) * fs], f"pic {i}"
+
+
+def test_max_framerate_temporal_dropping():
+    """High temporal layers are dropped to honor max_framerate
+    (ref: decoder.cc:182-201, segment_header.cc GetFramerateMaxTid)."""
+    pics = decode_all(read_data("ra64x48.xvc"), max_framerate=15)
+    assert [p.poc for p in pics] == [0, 4, 8]
+    assert pics[0].framerate == 15.0
+    out = b"".join(p.bytes for p in pics)
+    assert out == read_data("ra64x48_fps15.yuv")

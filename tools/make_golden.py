@@ -100,6 +100,11 @@ def make_output_conversion_vectors():
                     os.path.join(OUT, "ai64x48b10_out_dither8.yuv"),
                     "-output-bitdepth", "8", "-dither", "1",
                     "-simd-mask", "0"], check=True, capture_output=True)
+    subprocess.run([REF_DEC, "-bitstream-file",
+                    os.path.join(OUT, "ra64x48.xvc"), "-output-file",
+                    os.path.join(OUT, "ra64x48_fps15.yuv"),
+                    "-max-framerate", "15", "-simd-mask", "0"],
+                   check=True, capture_output=True)
 
 
 def make_scalability_vector():
