@@ -67,8 +67,23 @@ def main(argv=None):
                 pic.bitdepth))
         out.write(pic.bytes)
     start = time.time()
-    pos = 0
     num_pics = 0
+    for _ in range(max(1, g("loop")) - 1):
+        # benchmark loops decode without writing output
+        # (ref: decoder_app.cc -loop)
+        warm = DecoderSession(params)
+        pos = 0
+        while pos + 4 <= len(data):
+            (size,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            warm.decode_nal(data[pos:pos + size])
+            pos += size
+            while warm.get_picture() is not None:
+                pass
+        warm.flush()
+        while warm.get_picture() is not None:
+            pass
+    pos = 0
     while pos + 4 <= len(data):
         (size,) = struct.unpack_from("<I", data, pos)
         pos += 4
