@@ -61,6 +61,15 @@ def main(argv=None):
                 y4m_writer = Y4mWriter()
 
     def write_pic(pic):
+        if g("verbose"):
+            line = (f"NUT:{pic.nal_unit_type:6d}  POC:{pic.poc:6d}"
+                    f"  DOC:{pic.doc:6d}  SOC:{pic.soc:6d}"
+                    f"  TID:{pic.tid:6d}   QP:{pic.qp:6d}")
+            if pic.l0 or pic.l1:
+                line += "  RefPics: L0: { " + \
+                    ", ".join(f"{p:3d}" for p in pic.l0) + " } L1: { " + \
+                    ", ".join(f"{p:3d}" for p in pic.l1) + " }"
+            print(line, file=sys.stderr)
         if y4m_writer is not None:
             out.write(y4m_writer.frame_header(
                 pic.width, pic.height, pic.framerate, pic.chroma_format,

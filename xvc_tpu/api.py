@@ -249,3 +249,9 @@ class DecoderSession:
     @property
     def num_corrupted_pics(self):
         return getattr(self._dec, "num_corrupted_pics", 0)
+
+    def check_conformance(self):
+        """(ref: xvcdec.cc decoder_check_conformance). Returns
+        (ok, num_corrupted_pics)."""
+        n = self.num_corrupted_pics
+        return n == 0, n

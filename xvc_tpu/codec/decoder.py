@@ -31,6 +31,8 @@ class OutputPicture:
     conforming: bool = True
     nal_unit_type: int = 0
     framerate: float = 0.0
+    l0: list = field(default_factory=list)
+    l1: list = field(default_factory=list)
 
 
 class Decoder:
@@ -134,6 +136,14 @@ class Decoder:
             user_data=best.user_data,
             conforming=best.is_conforming,
             nal_unit_type=int(best.pic_data.nal_type),
+            l0=[best.pic_data.ref_pic_lists.get_ref_poc(0, i) + poc_offset
+                for i in range(
+                    best.pic_data.ref_pic_lists.get_num_ref_pics(0))]
+            if not best.pic_data.is_intra_pic() else [],
+            l1=[best.pic_data.ref_pic_lists.get_ref_poc(1, i) + poc_offset
+                for i in range(
+                    best.pic_data.ref_pic_lists.get_num_ref_pics(1))]
+            if not best.pic_data.is_intra_pic() else [],
             framerate=seg.get_framerate(
                 self.max_tid, self.curr_segment_header.bitstream_ticks,
                 self.curr_segment_header.max_sub_gop_length)
