@@ -37,6 +37,11 @@ def make_parser():
 def main(argv=None):
     args = vars(make_parser().parse_args(argv))
     g = lambda name: args[name.replace("-", "_")]  # noqa: E731
+    if args.get("simd_mask") == 0:
+        # native-kernel toggle: the analog of the reference's -simd-mask
+        # (native and Python paths are bit-identical by contract)
+        import xvc_tpu.native
+        xvc_tpu.native.LIB = None
     params = DecoderParameters(
         output_width=g("output-width"), output_height=g("output-height"),
         output_chroma_format=g("output-chroma-format"),

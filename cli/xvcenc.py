@@ -207,6 +207,11 @@ def _print_nal_info(ns, size, width, height, chroma):
 def main(argv=None):
     args = vars(make_parser().parse_args(argv))
     g = lambda name: args[name.replace("-", "_")]  # noqa: E731
+    if args.get("simd_mask") == 0:
+        # native-kernel toggle: the analog of the reference's -simd-mask
+        # (native and Python paths are bit-identical by contract)
+        import xvc_tpu.native
+        xvc_tpu.native.LIB = None
     width, height = g("input-width"), g("input-height")
     bitdepth = g("input-bitdepth")
     chroma = g("input-chroma-format")
