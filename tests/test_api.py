@@ -45,3 +45,23 @@ def test_encode_decode_roundtrip():
     assert pic.width == w and pic.height == h
     assert len(pic.bytes) == w * h * 3 // 2
     assert dec.num_corrupted_pics == 0  # in-bitstream checksum validated
+
+
+def test_encode_planes_matches_packed():
+    """encoder_encode2 equivalent: plane-array input produces the same
+    bitstream as packed bytes (ref: xvcenc.cc:367-404)."""
+    w = h = 16
+    packed = _synth_frame(w, h)
+    params = api.EncoderParameters(width=w, height=h, qp=37,
+                                   num_ref_pics=0, checksum_mode=1)
+    enc_a = api.EncoderSession(params)
+    nals_a = enc_a.encode(packed) + enc_a.flush()
+
+    y = np.frombuffer(packed[:w * h], np.uint8).reshape(h, w)
+    u = np.frombuffer(packed[w * h:w * h * 5 // 4],
+                      np.uint8).reshape(h // 2, w // 2)
+    v = np.frombuffer(packed[w * h * 5 // 4:],
+                      np.uint8).reshape(h // 2, w // 2)
+    enc_b = api.EncoderSession(params)
+    nals_b = enc_b.encode_planes([y, u, v]) + enc_b.flush()
+    assert nals_a == nals_b

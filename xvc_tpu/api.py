@@ -175,6 +175,18 @@ class EncoderSession:
         self._capture_rec()
         return nals
 
+    def encode_planes(self, planes, strides=None):
+        """Encode from separate Y/U/V plane arrays (2-D, row-major),
+        the xvc_enc_encoder_encode2 equivalent (ref: xvcenc.cc:367-404).
+        strides are implicit in the arrays; extra row padding is
+        stripped via the array views themselves."""
+        import numpy as np
+        chunks = []
+        for plane in planes:
+            arr = np.ascontiguousarray(plane)
+            chunks.append(arr.tobytes())
+        return self.encode(b"".join(chunks))
+
     def flush(self):
         """Flush all pending pictures; returns list of NAL byte strings."""
         nals = []
