@@ -70,3 +70,28 @@ def test_same_input_same_checksum():
         nals_b += enc.encode(raw[i * fs:(i + 1) * fs])
     nals_b += enc.flush()
     assert nals_a == nals_b
+
+
+def test_crc_checksum_method_roundtrip():
+    """CRC checksum method (disable_high_level_default_checksum_method):
+    our CRC streams must self-validate (cross-checked against reference
+    xvcdec during vector generation; ref: checksum.cc:46-93)."""
+    raw = read_data("ai16x16_in.yuv")
+    fs = 16 * 16 * 3 // 2
+    p = api.EncoderParameters(width=16, height=16, qp=32, checksum_mode=1,
+                              num_ref_pics=0, sub_gop_length=1)
+    enc = api.EncoderSession(p)
+    restr = enc._enc.segment_header.restrictions
+    restr.disable_high_level_default_checksum_method = True
+    nals = []
+    for i in range(2):
+        nals += enc.encode(raw[i * fs:(i + 1) * fs])
+    nals += enc.flush()
+    out = b"".join(len(n).to_bytes(4, "little") + n for n in nals)
+    pics = decode_stream(out)
+    assert all(p2.conforming for p2 in pics)
+    # a flipped CRC byte must be detected
+    bad = bytearray(out)
+    bad[-1] ^= 0xFF
+    pics = decode_stream(bytes(bad))
+    assert not pics[-1].conforming
