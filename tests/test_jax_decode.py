@@ -1,0 +1,68 @@
+"""Device (JAX) decode path: bit-exact vs golden reference output.
+
+The XVC_DSP=jax path reconstructs each picture with batched device
+kernels (xvc_tpu/tpu/recon.py): fused dequant+inverse transform, sub-pel
+MC, then a sequential host tail for intra/LIC.  This is the determinism
+contract the reference pins between SIMD and scalar paths
+(ref: test/xvc_test/simd_test.cc:149-176) lifted to host-vs-device.
+"""
+import pytest
+
+from xvc_tpu.codec.decoder import decode_stream
+
+from .util import read_data
+
+
+@pytest.fixture
+def jax_dsp(monkeypatch):
+    monkeypatch.setenv("XVC_DSP", "jax")
+
+
+def _assert_stream_bit_exact(name):
+    bitstream = read_data(name + ".xvc")
+    expected = read_data(name + "_dec.yuv")
+    pics = decode_stream(bitstream)
+    assert all(p.conforming for p in pics), "checksum mismatch"
+    assert b"".join(p.bytes for p in pics) == expected
+
+
+# Fast representative set: all-intra, low-delay, random-access (bi-pred,
+# affine, merge), 10-bit, 4:2:2.
+FAST_STREAMS = ["ai64x48", "ld64x48", "ra64x48", "ai64x48b10", "cf_c422"]
+
+# Remaining golden matrix (slow marker): 12-bit, 4:4:4, mono, restricted
+# modes A-D, speed modes, leading pictures, odd resolutions, deblock-cfg.
+SLOW_STREAMS = [
+    "ai16x16", "ai44x36", "ai64x48q27", "ai64x48q37", "b12", "cf_c444",
+    "cf_mono", "cg48x32", "enc_encap", "ra128x96", "ra64x48b10",
+    "ra96x64pl", "radbg", "res16x24", "res20x36", "res24x16", "res44x20",
+    "rm1_64x48", "rm2_64x48", "rm3_64x48", "rm4_64x48", "sp_cksum0",
+    "sp_fast", "sp_leadpics", "sp_placebo", "sp_tunepsnr",
+]
+
+
+@pytest.mark.parametrize("name", FAST_STREAMS)
+def test_jax_decode_bit_exact(jax_dsp, name):
+    _assert_stream_bit_exact(name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", SLOW_STREAMS)
+def test_jax_decode_bit_exact_full_matrix(jax_dsp, name):
+    _assert_stream_bit_exact(name)
+
+
+@pytest.mark.slow
+def test_jax_decode_scalability_splice(jax_dsp):
+    """Spliced open-gop stream with rescaled cross-segment references;
+    pinned against the host path (the reference's own poc-15 output
+    quirk is excluded the same way as in test_output_conversion)."""
+    import os
+    bitstream = read_data("scal16to24.xvc")
+    os.environ["XVC_DSP"] = "host"
+    host = decode_stream(bitstream)
+    os.environ["XVC_DSP"] = "jax"
+    dev = decode_stream(bitstream)
+    assert all(p.conforming for p in dev)
+    for a, b in zip(host, dev):
+        assert a.bytes == b.bytes, f"poc {a.poc}"

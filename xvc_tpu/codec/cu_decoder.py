@@ -27,8 +27,17 @@ class CuDecoder:
         self.intra = IntraReconstructor(pic_data, rec_pic.bitdepth,
                                         restrictions)
 
-    def decode_ctu(self, rsaddr, reader):
+    def decode_ctu(self, rsaddr, reader, reconstruct=True):
+        """Parse one CTU and (optionally) reconstruct it in place.
+
+        With reconstruct=False only the CABAC parse runs (the leaves
+        stay marked from the parse itself, which is equivalent to the
+        post-decompress mark state); the batched device path
+        (xvc_tpu/tpu/recon.py) then reconstructs the whole picture.
+        """
         self._read_ctu(rsaddr, reader)
+        if not reconstruct:
+            return
         ctu = self.pic.get_ctu(k.CuTree.PRIMARY, rsaddr)
         self.pic.clear_mark_cu_in_pic(ctu)
         self._decompress_cu(ctu)

@@ -328,8 +328,12 @@ def _mc_ref_list(predictor, cu, comp, ref_list, post_filter,
     return pred
 
 
-def _mc_affine(predictor, cu, ctx, mv3, short_out):
-    """(ref: inter_prediction.cc:1044-1136)"""
+def affine_subblock_jobs(cu, ctx, mv3):
+    """Affine MC traversal as a job list (ref: inter_prediction.cc:
+    1044-1136).  Returns either ("uniform", clipped_mv0) when all corner
+    MVs collapse, or ("subblocks", sw, sh, jobs) with jobs =
+    [(x0, y0, frac_x, frac_y, dst_x, dst_y), ...] in visible ref-plane
+    coords.  Shared by the host executor and the batched device path."""
     AFFINE_PREC = 8
     comp = ctx.comp
     ref_pic = ctx.ref_pic
@@ -340,12 +344,7 @@ def _mc_affine(predictor, cu, ctx, mv3, short_out):
     mv = [mv_mod.clip_mv(cu, ref_pic, m) for m in mv3]
     cx, cy = cu.pos(comp)
     if mv[0] == mv[1]:
-        pel_x, pel_y, frac_x, frac_y = get_fullpel_ref(
-            cu, comp, ref_pic, mv[0][0], mv[0][1], ctx.restr)
-        if short_out:
-            return mc_unipred_short(ctx, cx + pel_x, cy + pel_y,
-                                    frac_x, frac_y)
-        return mc_unipred_sample(ctx, cx + pel_x, cy + pel_y, frac_x, frac_y)
+        return ("uniform", mv[0])
 
     def get_subblock_size(ref, mv_uni, size, scale):
         MIN_SUBBLOCK = 4
@@ -364,8 +363,8 @@ def _mc_affine(predictor, cu, ctx, mv3, short_out):
                                        ref_pic.shift_x[comp])
     subblock_height = get_subblock_size(mv[0], mv[2], height,
                                         ref_pic.shift_y[comp])
-    luma_w = predictor.pic.width
-    luma_h = predictor.pic.height
+    luma_w = cu.pic.width
+    luma_h = cu.pic.height
     mv_max_x = (luma_w - cu.pos_x + 8 - 1) * mv_scale
     mv_min_x = (-k.MAX_BLOCK_SIZE - cu.pos_x - 8 + 1) * mv_scale
     mv_max_y = (luma_h - cu.pos_y + 8 - 1) * mv_scale
@@ -380,10 +379,7 @@ def _mc_affine(predictor, cu, ctx, mv3, short_out):
     hor_y = mv[0][1] * (1 << AFFINE_PREC)
     ver_x, ver_y = hor_x, hor_y
 
-    dtype = np.int16 if short_out else np.int32
-    out = np.zeros((height, width), dtype=dtype)
-    sub_ctx = McContext(ref_pic, comp, 0, 0, subblock_width, subblock_height,
-                        ctx.bitdepth, ctx.restr)
+    jobs = []
     for sub_y in range(0, height, subblock_height):
         for sub_x in range(0, width, subblock_width):
             mv_x = min(max((hor_x + delta_hor_x * (subblock_width >> 1) +
@@ -401,17 +397,38 @@ def _mc_affine(predictor, cu, ctx, mv3, short_out):
             frac_y = mv_y & ((1 << mv_shift_y) - 1)
             x0 = cx + sub_x + mv_full_x
             y0 = cy + sub_y + mv_full_y
-            if short_out:
-                blk = mc_unipred_short(sub_ctx, x0, y0, frac_x, frac_y)
-            else:
-                blk = mc_unipred_sample(sub_ctx, x0, y0, frac_x, frac_y)
-            out[sub_y:sub_y + subblock_height,
-                sub_x:sub_x + subblock_width] = blk
+            jobs.append((x0, y0, frac_x, frac_y, sub_x, sub_y))
             hor_x += delta_hor_x * subblock_width
             hor_y += delta_hor_y * subblock_width
         ver_x += delta_ver_x * subblock_height
         ver_y += delta_ver_y * subblock_height
         hor_x, hor_y = ver_x, ver_y
+    return ("subblocks", subblock_width, subblock_height, jobs)
+
+
+def _mc_affine(predictor, cu, ctx, mv3, short_out):
+    """(ref: inter_prediction.cc:1044-1136)"""
+    plan = affine_subblock_jobs(cu, ctx, mv3)
+    cx, cy = cu.pos(ctx.comp)
+    if plan[0] == "uniform":
+        mv = plan[1]
+        pel_x, pel_y, frac_x, frac_y = get_fullpel_ref(
+            cu, ctx.comp, ctx.ref_pic, mv[0], mv[1], ctx.restr)
+        if short_out:
+            return mc_unipred_short(ctx, cx + pel_x, cy + pel_y,
+                                    frac_x, frac_y)
+        return mc_unipred_sample(ctx, cx + pel_x, cy + pel_y, frac_x, frac_y)
+    _, sw, sh, jobs = plan
+    dtype = np.int16 if short_out else np.int32
+    out = np.zeros((ctx.height, ctx.width), dtype=dtype)
+    sub_ctx = McContext(ctx.ref_pic, ctx.comp, 0, 0, sw, sh,
+                        ctx.bitdepth, ctx.restr)
+    for (x0, y0, frac_x, frac_y, sub_x, sub_y) in jobs:
+        if short_out:
+            blk = mc_unipred_short(sub_ctx, x0, y0, frac_x, frac_y)
+        else:
+            blk = mc_unipred_sample(sub_ctx, x0, y0, frac_x, frac_y)
+        out[sub_y:sub_y + sh, sub_x:sub_x + sw] = blk
     return out
 
 

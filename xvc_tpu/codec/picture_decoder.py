@@ -176,8 +176,13 @@ class PictureDecoder:
         reader = SyntaxReader(qp, pd.get_prediction_type(), bit_reader,
                               restr)
         cu_decoder = CuDecoder(self.rec_pic, pd, restr)
+        from ..engine import use_jax_dsp
+        jax_dsp = use_jax_dsp()
         for rsaddr in range(pd.get_number_of_ctus()):
-            cu_decoder.decode_ctu(rsaddr, reader)
+            cu_decoder.decode_ctu(rsaddr, reader, reconstruct=not jax_dsp)
+        if jax_dsp:
+            from ..tpu.recon import JaxReconstructor
+            JaxReconstructor(cu_decoder).reconstruct_picture()
         if pd.deblock:
             deblocker = DeblockingFilter(pd, self.rec_pic, pd.beta_offset,
                                          pd.tc_offset, restr)

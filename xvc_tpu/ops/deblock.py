@@ -34,11 +34,16 @@ class DeblockingFilter:
 
     def deblock_picture(self):
         from .. import native as _native
+        from ..engine import use_jax_dsp
         r = self.restr
         has_secondary = self.pic.has_secondary_cu_tree()
         num_ctus = self.pic.get_number_of_ctus()
         subblock_size = SUBBLOCK_SIZE if \
             r.disable_ext_deblock_subblock_size_4 else SUBBLOCK_SIZE_EXT
+        if use_jax_dsp():
+            from ..tpu.deblock_jax import deblock_picture_jax
+            deblock_picture_jax(self)
+            return
         if _native.available():
             self._deblock_picture_native(subblock_size, has_secondary)
             return

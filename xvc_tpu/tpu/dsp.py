@@ -1,0 +1,233 @@
+"""Jitted integer DSP kernels for the device decode/encode path.
+
+These are the TPU equivalents of the reference's per-sample C++/SIMD
+loops (ref: src/xvc_common_lib/quantize.cc:94-125, transform.cc,
+inter_prediction.cc:710-1378 and simd/inter_prediction_simd.cc): every
+kernel is exact integer arithmetic (int32 with explicit int16
+wrap-points, exactly like the reference's C semantics) so device
+reconstruction is bit-identical to the host path.
+
+Batching model: the host CABAC parse produces per-block syntax tensors;
+blocks are grouped by static shape/kind and each group runs as one
+jitted call.  Batch sizes are padded to powers of two so the compile
+cache stays small.
+"""
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as k
+from ..codec import inter_mc as mc
+from ..ops import transform as tx
+
+_HIGH_PREC_SHIFT = 2
+
+
+def _clip16(x):
+    return jnp.clip(x, k.INT16_MIN, k.INT16_MAX)
+
+
+def _wrap16(x):
+    """int16 wrap-around (the reference's short cast)."""
+    return x.astype(jnp.int16).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Dequant + inverse transform (fused per block group)
+# ---------------------------------------------------------------------------
+
+def _dequant_expr(c, scale, width, height, bitdepth):
+    """Exact int32 dequant (wrapping like the reference's C int math,
+    ref: quantize.cc:94-125).  scale is per-block (B,)."""
+    wl2, hl2 = width.bit_length() - 1, height.bit_length() - 1
+    bias = ((wl2 + hl2) % 2) != 0
+    transform_shift = k.MAX_TR_DYNAMIC_RANGE - bitdepth - ((wl2 + hl2) >> 1)
+    shift = 6 - transform_shift + (8 if bias else 0)
+    s = scale[:, None, None]
+    if shift > 0:
+        out = (c * s + (1 << (shift - 1))) >> shift
+    else:
+        out = (c * s) << (-shift)
+    return _clip16(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _matrices(txv, txh, height, width, high_precision):
+    hp1 = high_precision or height >= 64 or height == 2
+    hp2 = high_precision or width >= 64 or width == 2
+    m1, adj1 = tx.get_matrix(k.TransformType(txv), height, hp1)
+    m2, adj2 = tx.get_matrix(k.TransformType(txh), width, hp2)
+    shift1 = 7 + (_HIGH_PREC_SHIFT if hp1 else 0) + adj1
+    shift2 = 20 + (_HIGH_PREC_SHIFT if hp2 else 0) + adj2  # minus bitdepth
+    return (m1.astype(np.int32), m2.astype(np.int32), shift1, shift2)
+
+
+@functools.lru_cache(maxsize=None)
+def make_dequant_itx(width, height, bitdepth, txv, txh, variant,
+                     high_precision):
+    """Fused dequant + inverse transform for (B, height, width) coeff
+    blocks.  variant: 'gen' | 'dst4' | 'skip' | 'dc'.
+
+    Returns jitted fn(coeff int32 (B,h,w), scale int32 (B,)) -> residual
+    int32 (B,h,w).  (ref: transform.cc inverse paths)
+    """
+    wl2, hl2 = width.bit_length() - 1, height.bit_length() - 1
+
+    def fn(coeff, scale):
+        dq = _dequant_expr(coeff, scale, width, height, bitdepth)
+        if variant == "skip":
+            bias = ((wl2 + hl2) % 2) != 0
+            tshift = k.MAX_TR_DYNAMIC_RANGE - bitdepth - ((wl2 + hl2) >> 1)
+            shift = tshift + (7 if bias else 0)
+            sc = 181 if bias else 1
+            if shift > 0:
+                return (dq * sc + (1 << (shift - 1))) >> shift
+            return (dq * sc) << (-shift)
+        if variant == "dc":
+            shift = 14 - bitdepth
+            add = 1 << (shift - 1)
+            val = (((dq[:, 0, 0] + 1) >> 1) + add) >> shift
+            return jnp.broadcast_to(val[:, None, None],
+                                    (coeff.shape[0], height, width))
+        if variant == "dst4":
+            m = jnp.asarray(tx._DST4.astype(np.int32))
+            s1, s2 = 7, 20 - bitdepth
+            t = _clip16((jnp.einsum("ji,bjk->bik", m, dq,
+                                    preferred_element_type=jnp.int32)
+                         + (1 << (s1 - 1))) >> s1)
+            return _clip16((jnp.einsum("bij,jk->bik", t, m,
+                                       preferred_element_type=jnp.int32)
+                            + (1 << (s2 - 1))) >> s2)
+        m1, m2, shift1, shift2 = _matrices(txv, txh, height, width,
+                                           high_precision)
+        shift2 = shift2 - bitdepth
+        in1 = min(height, k.TRANSFORM_ZERO_OUT_MIN_SIZE)
+        cols = min(width, k.TRANSFORM_ZERO_OUT_MIN_SIZE)
+        mj1 = jnp.asarray(m1[:in1, :])
+        mj2 = jnp.asarray(m2[:cols, :])
+        t = _clip16((jnp.einsum("ji,bjk->bik", mj1, dq[:, :in1, :cols],
+                                preferred_element_type=jnp.int32)
+                     + (1 << (shift1 - 1))) >> shift1)
+        return _clip16((jnp.einsum("bij,jk->bik", t, mj2,
+                                   preferred_element_type=jnp.int32)
+                        + (1 << (shift2 - 1))) >> shift2)
+
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Motion compensation (unified sub-pel kernel)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _filter_table(luma, high_prec):
+    if luma:
+        t = mc.LUMA_FILTER_HIGH_PREC if high_prec else mc.LUMA_FILTER
+    else:
+        t = mc.CHROMA_FILTER_HIGH_PREC if high_prec else mc.CHROMA_FILTER
+    return t.astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def make_mc_kernel(width, height, luma, bitdepth, high_prec, short_out):
+    """Unified batched sub-pel MC (ref: inter_prediction.cc:1138-1378).
+
+    fn(planes int32 (R, Hp, Wp), ref_idx (B,), y0 (B,), x0 (B,),
+       fx (B,), fy (B,)) -> (B, height, width) int32
+
+    y0/x0 are padded-plane coords of the (taps-1)-extended window origin
+    (i.e. block_origin - (taps/2 - 1)).  All four frac cases are
+    computed and selected per block; rounding matches the scalar
+    reference exactly, including the int16 wrap points.
+    """
+    taps = mc.NUM_TAPS_LUMA if luma else mc.NUM_TAPS_CHROMA
+    table = jnp.asarray(_filter_table(luma, high_prec))
+    half = taps // 2 - 1
+    wh, ww = height + taps - 1, width + taps - 1
+    max_val = (1 << bitdepth) - 1
+    prec_diff = mc.INTERNAL_PRECISION - bitdepth  # >= 2
+    off = mc.INTERNAL_OFFSET
+
+    def conv_h(src, f):
+        # src (B, n, w + taps - 1), f (B, taps) -> (B, n, w)
+        out = f[:, 0, None, None] * src[:, :, 0:width]
+        for i in range(1, taps):
+            out = out + f[:, i, None, None] * src[:, :, i:i + width]
+        return out
+
+    def conv_v(src, f):
+        # src (B, h + taps - 1, w), f (B, taps) -> (B, h, w)
+        out = f[:, 0, None, None] * src[:, 0:height, :]
+        for i in range(1, taps):
+            out = out + f[:, i, None, None] * src[:, i:i + height, :]
+        return out
+
+    def fn(planes, ref_idx, y0, x0, fx, fy):
+        win = jax.vmap(
+            lambda r, y, x: jax.lax.dynamic_slice(planes, (r, y, x),
+                                                  (1, wh, ww))[0]
+        )(ref_idx, y0, x0)
+        f_x = table[fx]
+        f_y = table[fy]
+
+        center = win[:, half:half + height, half:half + width]
+        if short_out:
+            case00 = _wrap16(_wrap16(center << prec_diff) - off)
+        else:
+            case00 = jnp.clip(center, 0, max_val)
+
+        ch = conv_h(win[:, half:half + height, :], f_x)
+        cv = conv_v(win[:, :, half:half + width], f_y)
+        if short_out:
+            shift1 = mc.FILTER_PRECISION - prec_diff
+            offset1 = -(off << shift1)
+            case_h = _wrap16((ch + offset1) >> shift1)
+            case_v = _wrap16((cv + offset1) >> shift1)
+            temp = _wrap16((conv_h(win, f_x) + offset1) >> shift1)
+            case_hv = _wrap16(conv_v(temp, f_y) >> mc.FILTER_PRECISION)
+        else:
+            fshift = mc.FILTER_PRECISION
+            foff = 1 << (fshift - 1)
+            case_h = jnp.clip((ch + foff) >> fshift, 0, max_val)
+            case_v = jnp.clip(_wrap16((cv + foff) >> fshift), 0, max_val)
+            shift1 = mc.FILTER_PRECISION - prec_diff
+            offset1 = -(off << shift1)
+            temp = _wrap16((conv_h(win, f_x) + offset1) >> shift1)
+            shift2 = mc.FILTER_PRECISION + prec_diff
+            offset2 = (off << mc.FILTER_PRECISION) + (1 << (shift2 - 1))
+            case_hv = jnp.clip(_wrap16((conv_v(temp, f_y) + offset2)
+                                       >> shift2), 0, max_val)
+
+        zx = (fx == 0)[:, None, None]
+        zy = (fy == 0)[:, None, None]
+        out = jnp.where(zx & zy, case00,
+                        jnp.where(zy, case_h,
+                                  jnp.where(zx, case_v, case_hv)))
+        return out
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def make_add_avg(width, height, bitdepth):
+    """Bi-prediction average of two 14-bit intermediates
+    (ref: inter_prediction.cc AddAvg)."""
+    shift = max(2, mc.INTERNAL_PRECISION - bitdepth) + 1
+    offset = (1 << (shift - 1)) + 2 * mc.INTERNAL_OFFSET
+    max_val = (1 << bitdepth) - 1
+
+    def fn(l0, l1):
+        return jnp.clip((l0 + l1 + offset) >> shift, 0, max_val)
+
+    return jax.jit(fn)
+
+
+def pad_pow2(n):
+    """Round batch size up to a power of two (compile-cache bound)."""
+    p = 1
+    while p < n:
+        p <<= 1
+    return p

@@ -1,0 +1,268 @@
+"""Batched device reconstruction of one decoded picture.
+
+Replaces the reference's per-CU interleaved reconstruct loop
+(ref: src/xvc_dec_lib/cu_decoder.cc:86-138) with a TPU-shaped two-phase
+schedule: the host CABAC parse runs first for the whole picture, then
+
+  stage A (host, cheap)   walk leaves in decode order replaying the CU
+                          availability marks, derive MVs, and emit
+                          per-block job tensors;
+  stage B (device)        fused dequant + inverse transform of every
+                          coded block, batched by shape/kind;
+  stage C (device)        sub-pel MC of every non-LIC inter block,
+                          batched by shape, reading stacked ref planes;
+  stage D (host, sparse)  sequential z-order pass over intra and LIC
+                          blocks only (their prediction reads
+                          reconstructed neighbours, the codec's
+                          inherently sequential tail).
+
+The mark replay in stages A/D reproduces the reference's neighbour
+availability exactly (ClearMarkCuInPic/MarkUsedInPic protocol,
+ref: cu_decoder.cc:47-100), so output is bit-identical to the host
+path; tests pin this on every golden stream.
+"""
+import numpy as np
+
+from .. import constants as k
+from ..codec import inter_mc
+from ..codec import inter_mv as mv_mod
+from . import dsp
+
+
+class JaxReconstructor:
+    def __init__(self, cu_decoder):
+        self.dec = cu_decoder
+        self.pic = cu_decoder.pic
+        self.rec = cu_decoder.rec
+        self.restr = cu_decoder.restr
+        self.bitdepth = self.rec.bitdepth
+        self.hp_tx = not self.restr.disable_ext2_transform_high_precision
+        self.hp_mv = not self.restr.disable_ext2_inter_high_precision_mv
+        self._itx_groups = {}   # key -> [(coeff, scale, comp, cx, cy)]
+        self._mc_groups = {}    # key -> [(plane_ref, y0, x0, fx, fy,
+                                #           dest_buf, dy, dx)]
+        self._inter_recs = []   # (cu, comp, kind, bufs)
+        self._planes = {}       # (id(pic), comp) -> (shape, index)
+        self._stacks = {}       # shape -> [np padded planes]
+
+    # ------------------------------------------------------------------
+    def reconstruct_picture(self):
+        self._clear_all_marks()
+        self._for_each_leaf(self._collect_leaf)
+        resi = self._run_itx()
+        self._run_mc()
+        self._write_inter(resi)
+        self._clear_all_marks()
+        self._for_each_leaf(lambda cu: self._sequential_leaf(cu, resi))
+
+    # ------------------------------------------------------------------
+    def _trees(self):
+        trees = [k.CuTree.PRIMARY]
+        if self.pic.has_secondary_cu_tree():
+            trees.append(k.CuTree.SECONDARY)
+        return trees
+
+    def _clear_all_marks(self):
+        for tree in self._trees():
+            for ctu in self.pic.ctus[int(tree)]:
+                self.pic.clear_mark_cu_in_pic(ctu)
+
+    def _for_each_leaf(self, visitor):
+        """Decode-order leaf walk with incremental availability marking
+        (the decompress-order replay; ref: cu_decoder.cc:86-100)."""
+        for rsaddr in range(self.pic.get_number_of_ctus()):
+            for tree in self._trees():
+                self._visit(self.pic.get_ctu(tree, rsaddr), visitor)
+
+    def _visit(self, cu, visitor):
+        if cu.split != k.SplitType.NONE:
+            for sub in cu.sub_cus:
+                if sub is not None:
+                    self._visit(sub, visitor)
+        else:
+            self.pic.mark_used_in_pic(cu)
+            visitor(cu)
+
+    # ------------------------------------------------------------------
+    # stage A: job collection
+    # ------------------------------------------------------------------
+    def _collect_leaf(self, cu):
+        comps = self.pic.get_components(cu.cu_tree)
+        for comp in comps:
+            if cu.cbf[comp]:
+                self._add_itx_job(cu, comp)
+        if cu.is_inter():
+            self.dec.inter.calculate_mv(cu)
+            if cu.use_lic:
+                return  # sequential tail (template-based prediction)
+            for comp in comps:
+                self._add_mc_jobs(cu, comp)
+
+    def _add_itx_job(self, cu, comp):
+        cx, cy = cu.pos(comp)
+        w, h = cu.size(comp)
+        bias = ((w.bit_length() + h.bit_length()) % 2) != 0
+        scale = cu.qp.get_inv_scale(comp) * (181 if bias else 1)
+        if cu.transform_skip[comp]:
+            key = (w, h, 0, 0, "skip")
+        else:
+            t0 = cu.get_transform_type(comp, 0)
+            t1 = cu.get_transform_type(comp, 1)
+            dflt = (k.TransformType.DEFAULT, k.TransformType.DCT2)
+            can_dst4 = (comp == 0 and cu.is_intra() and
+                        t0 == k.TransformType.DEFAULT and
+                        t1 == k.TransformType.DEFAULT and
+                        w == 4 and h == 4 and
+                        not self.restr.disable_ext2_transform_dst)
+            if can_dst4:
+                key = (w, h, 0, 0, "dst4")
+            elif cu.dc_only[comp] and t0 in dflt and t1 in dflt:
+                key = (w, h, 0, 0, "dc")
+            else:
+                key = (w, h, int(t0), int(t1), "gen")
+        self._itx_groups.setdefault(key, []).append(
+            (cu.get_coeff(comp), scale, comp, cx, cy))
+
+    def _plane_index(self, ref_pic, comp):
+        pkey = (id(ref_pic), comp)
+        if pkey not in self._planes:
+            plane = ref_pic.padded_plane(comp)
+            shape = plane.shape
+            lst = self._stacks.setdefault(shape, [])
+            self._planes[pkey] = (shape, len(lst))
+            lst.append(plane)
+        return self._planes[pkey]
+
+    def _add_mc_jobs(self, cu, comp):
+        if cu.inter_dir != k.InterDir.BI:
+            lists = [(0 if cu.inter_dir == k.InterDir.L0 else 1, False)]
+        else:
+            lists = [(0, True), (1, True)]
+        cx, cy = cu.pos(comp)
+        w, h = cu.size(comp)
+        bufs = []
+        for ref_list, short in lists:
+            buf = np.zeros((h, w), dtype=np.int32)
+            bufs.append(buf)
+            ref_pic = self.pic.ref_pic_lists.get_ref_pic(
+                ref_list, cu.ref_idx[ref_list])
+            if cu.use_affine:
+                ctx = inter_mc.McContext(ref_pic, comp, cx, cy, w, h,
+                                         self.bitdepth, self.restr)
+                plan = inter_mc.affine_subblock_jobs(
+                    cu, ctx, [cu.mv[ref_list][i] for i in range(3)])
+                if plan[0] == "subblocks":
+                    _, sw, sh, jobs = plan
+                    for (x0, y0, fx, fy, dx, dy) in jobs:
+                        self._emit_mc(ref_pic, comp, sw, sh, short,
+                                      x0, y0, fx, fy, buf, dy, dx)
+                    continue
+                mv = plan[1]
+            else:
+                mv = mv_mod.clip_mv(cu, ref_pic, cu.mv[ref_list][0])
+            pel_x, pel_y, fx, fy = inter_mc.get_fullpel_ref(
+                cu, comp, ref_pic, mv[0], mv[1], self.restr)
+            self._emit_mc(ref_pic, comp, w, h, short,
+                          cx + pel_x, cy + pel_y, fx, fy, buf, 0, 0)
+        kind = "bi" if len(bufs) == 2 else "uni"
+        self._inter_recs.append((cu, comp, kind, bufs))
+
+    def _emit_mc(self, ref_pic, comp, w, h, short, x0, y0, fx, fy,
+                 buf, dy, dx):
+        """Queue one sub-pel MC block; coords become padded-plane window
+        origins (block origin minus (taps/2 - 1))."""
+        luma = comp == 0
+        taps = inter_mc.NUM_TAPS_LUMA if luma else inter_mc.NUM_TAPS_CHROMA
+        half = taps // 2 - 1
+        shape, ridx = self._plane_index(ref_pic, comp)
+        ypad = ref_pic.pad_y[comp] + y0 - half
+        xpad = ref_pic.pad_x[comp] + x0 - half
+        key = (w, h, luma, short, shape)
+        self._mc_groups.setdefault(key, []).append(
+            (ridx, ypad, xpad, fx, fy, buf, dy, dx))
+
+    # ------------------------------------------------------------------
+    # stage B: dequant + inverse transform on device
+    # ------------------------------------------------------------------
+    def _run_itx(self):
+        resi = [None, None, None]
+        for c in range(self.pic.max_num_components):
+            resi[c] = np.zeros((self.rec.height[c], self.rec.width[c]),
+                               dtype=np.int32)
+        import jax.numpy as jnp
+        for (w, h, txv, txh, variant), jobs in self._itx_groups.items():
+            b = len(jobs)
+            bp = dsp.pad_pow2(b)
+            coeffs = np.zeros((bp, h, w), dtype=np.int32)
+            scales = np.zeros((bp,), dtype=np.int32)
+            for i, (coeff, scale, _, _, _) in enumerate(jobs):
+                coeffs[i] = coeff
+                scales[i] = scale
+            fn = dsp.make_dequant_itx(w, h, self.bitdepth, txv, txh,
+                                      variant, self.hp_tx)
+            out = np.asarray(fn(jnp.asarray(coeffs), jnp.asarray(scales)))
+            for i, (_, _, comp, cx, cy) in enumerate(jobs):
+                resi[comp][cy:cy + h, cx:cx + w] = out[i]
+        return resi
+
+    # ------------------------------------------------------------------
+    # stage C: motion compensation on device
+    # ------------------------------------------------------------------
+    def _run_mc(self):
+        if not self._mc_groups:
+            return
+        import jax.numpy as jnp
+        dev_stacks = {shape: jnp.asarray(np.stack(planes))
+                      for shape, planes in self._stacks.items()}
+        for (w, h, luma, short, shape), jobs in self._mc_groups.items():
+            b = len(jobs)
+            bp = dsp.pad_pow2(b)
+            arr = np.zeros((5, bp), dtype=np.int32)
+            for i, (ridx, ypad, xpad, fx, fy, _, _, _) in enumerate(jobs):
+                arr[:, i] = (ridx, ypad, xpad, fx, fy)
+            fn = dsp.make_mc_kernel(w, h, luma, self.bitdepth,
+                                    self.hp_mv, short)
+            out = np.asarray(fn(dev_stacks[shape],
+                                jnp.asarray(arr[0]), jnp.asarray(arr[1]),
+                                jnp.asarray(arr[2]), jnp.asarray(arr[3]),
+                                jnp.asarray(arr[4])))
+            for i, (_, _, _, _, _, buf, dy, dx) in enumerate(jobs):
+                buf[dy:dy + h, dx:dx + w] = out[i]
+
+    def _write_inter(self, resi):
+        max_pel = (1 << self.bitdepth) - 1
+        for cu, comp, kind, bufs in self._inter_recs:
+            cx, cy = cu.pos(comp)
+            w, h = cu.size(comp)
+            if kind == "bi":
+                pred = inter_mc.add_avg_bi(bufs[0].astype(np.int16),
+                                           bufs[1].astype(np.int16),
+                                           self.bitdepth)
+            else:
+                pred = bufs[0]
+            reco = np.clip(pred + resi[comp][cy:cy + h, cx:cx + w],
+                           0, max_pel)
+            self.rec.plane_view(comp)[cy:cy + h, cx:cx + w] = reco
+
+    # ------------------------------------------------------------------
+    # stage D: sequential intra / LIC tail (host)
+    # ------------------------------------------------------------------
+    def _sequential_leaf(self, cu, resi):
+        if not (cu.is_intra() or (cu.is_inter() and cu.use_lic)):
+            return
+        dec = self.dec
+        dec.intra.invalidate_lm_cache()
+        max_pel = (1 << self.bitdepth) - 1
+        for comp in self.pic.get_components(cu.cu_tree):
+            cx, cy = cu.pos(comp)
+            w, h = cu.size(comp)
+            if cu.is_intra():
+                pred = dec.predict_intra(cu, comp)
+            else:
+                pred = inter_mc.motion_compensation(dec.inter, cu, comp)
+            if cu.cbf[comp]:
+                reco = np.clip(pred + resi[comp][cy:cy + h, cx:cx + w],
+                               0, max_pel)
+            else:
+                reco = pred
+            self.rec.plane_view(comp)[cy:cy + h, cx:cx + w] = reco
