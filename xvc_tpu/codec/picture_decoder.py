@@ -151,6 +151,7 @@ class PictureDecoder:
         self.output_status_done = False
         self.ref_count = 0
         self.alt_rec_pic = None
+        self.rec_pic._dev_planes = None  # invalidate device ref cache
         pd = self.pic_data
         pd.nal_type = header.nal_unit_type
         pd.soc = header.soc
@@ -177,16 +178,21 @@ class PictureDecoder:
                               restr)
         cu_decoder = CuDecoder(self.rec_pic, pd, restr)
         from ..engine import use_jax_dsp
+        from ..profiling import span
         jax_dsp = use_jax_dsp()
-        for rsaddr in range(pd.get_number_of_ctus()):
-            cu_decoder.decode_ctu(rsaddr, reader, reconstruct=not jax_dsp)
+        with span("decode.parse" if jax_dsp else "decode.parse+recon"):
+            for rsaddr in range(pd.get_number_of_ctus()):
+                cu_decoder.decode_ctu(rsaddr, reader,
+                                      reconstruct=not jax_dsp)
         if jax_dsp:
             from ..tpu.recon import JaxReconstructor
             JaxReconstructor(cu_decoder).reconstruct_picture()
         if pd.deblock:
-            deblocker = DeblockingFilter(pd, self.rec_pic, pd.beta_offset,
-                                         pd.tc_offset, restr)
-            deblocker.deblock_picture()
+            with span("decode.deblock"):
+                deblocker = DeblockingFilter(pd, self.rec_pic,
+                                             pd.beta_offset,
+                                             pd.tc_offset, restr)
+                deblocker.deblock_picture()
         success = True
         if not reader.finish():
             success = False

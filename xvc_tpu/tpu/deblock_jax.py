@@ -182,7 +182,8 @@ def chroma_edge_tensors(meta, direction, subblock_size, tc_offset,
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def make_luma_pass(height, width, subblock_size, bitdepth, flags):
+def make_luma_pass(height, width, subblock_size, bitdepth, flags,
+                   n_edges):
     """One luma filter direction as lax.scan over vertical edge strips.
     flags = (disable_initial_decision, disable_strong, disable_weak,
     disable_weak_sample_decision, disable_two_samples_weak)."""
@@ -197,7 +198,7 @@ def make_luma_pass(height, width, subblock_size, bitdepth, flags):
     def body(plane, xs):
         xe, mask_col, tc_col, beta_col = xs
         strip = lax.dynamic_slice(plane, (0, xe - 4), (height, 8))
-        s = strip.reshape(groups, 4, 8)
+        s = strip.reshape(groups, 4, 8).astype(jnp.int32)
         p3, p2, p1, p0 = s[:, :, 0], s[:, :, 1], s[:, :, 2], s[:, :, 3]
         q0, q1, q2, q3 = s[:, :, 4], s[:, :, 5], s[:, :, 6], s[:, :, 7]
         dp = jnp.abs(p2 - 2 * p1 + p0)
@@ -277,11 +278,18 @@ def make_luma_pass(height, width, subblock_size, bitdepth, flags):
         out = out.at[:, :, 4].set(new_cols[4])
         out = out.at[:, :, 5].set(new_cols[5])
         out = out.at[:, :, 6].set(new_cols[6])
-        plane = lax.dynamic_update_slice(plane, out.reshape(height, 8),
-                                         (0, xe - 4))
+        plane = lax.dynamic_update_slice(
+            plane, out.reshape(height, 8).astype(plane.dtype), (0, xe - 4))
         return plane, None
 
-    def fn(plane, xs, mask, tc, beta):
+    def fn(plane, flat32, xs_off, mask_off, tc_off, beta_off):
+        xs = lax.dynamic_slice(flat32, (xs_off,), (n_edges,))
+        eg = n_edges * groups
+        sl = lambda off: lax.dynamic_slice(flat32, (off,),
+                                           (eg,)).reshape(n_edges, groups)
+        mask = sl(mask_off) != 0
+        tc = sl(tc_off)
+        beta = sl(beta_off)
         plane, _ = lax.scan(body, plane, (xs, mask, tc, beta))
         return plane
 
@@ -293,22 +301,29 @@ def make_chroma_pass(height, n_edges, bitdepth):
     """One chroma filter direction: fully parallel masked update."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
     max_val = (1 << bitdepth) - 1
 
-    def fn(plane, edges, apply, tc):
-        # plane (H, W); edges (E,); apply/tc (E, H)
+    def fn(plane, flat32, e_off, a_off, t_off):
+        edges = lax.dynamic_slice(flat32, (e_off,), (n_edges,))
+        eh = n_edges * height
+        apply = lax.dynamic_slice(flat32, (a_off,), (eh,)).reshape(
+            n_edges, height)
+        tc = lax.dynamic_slice(flat32, (t_off,), (eh,)).reshape(
+            n_edges, height)
         idx = edges[:, None] + jnp.arange(-2, 2)[None, :]   # (E, 4)
-        win = plane[:, idx]                                  # (H, E, 4)
+        win = plane[:, idx].astype(jnp.int32)                # (H, E, 4)
         p1, p0 = win[:, :, 0], win[:, :, 1]
         q0, q1 = win[:, :, 2], win[:, :, 3]
         tcv = tc.T
         delta = jnp.clip((((q0 - p0) * 4) + p1 - q1 + 4) >> 3, -tcv, tcv)
-        m = apply.T
+        m = apply.T != 0
         np0 = jnp.where(m, jnp.clip(p0 + delta, 0, max_val), p0)
         nq0 = jnp.where(m, jnp.clip(q0 - delta, 0, max_val), q0)
         rows = jnp.arange(height)[:, None]
-        plane = plane.at[rows, (edges - 1)[None, :]].set(np0)
-        plane = plane.at[rows, edges[None, :]].set(nq0)
+        plane = plane.at[rows, (edges - 1)[None, :]].set(
+            np0.astype(plane.dtype))
+        plane = plane.at[rows, edges[None, :]].set(nq0.astype(plane.dtype))
         return plane
 
     return jax.jit(fn)
@@ -344,50 +359,96 @@ def deblock_picture_jax(filt):
     bd = pic.bitdepth
     csx, csy = rec.shift_x[1], rec.shift_y[1]
 
+    from . import dsp
+    from ..profiling import span
+    # phase 1: compute all edge metadata on the host and pack every
+    # upload (planes + metadata) into one flat transfer
     built = {}
-    planes_dev = {}
+    work = []  # (direction, kind, payload-handles...)
+    batch = dsp.DevBatch()
+    plane_handles = {}
     for comp in range(pic.max_num_components):
-        planes_dev[comp] = jnp.asarray(rec.plane_view(comp))
-
-    for direction in (0, 1):
-        for cu_tree, sbs, do_luma, do_chroma in passes:
-            bkey = (cu_tree,)
-            if bkey not in built:
-                built[bkey] = filt._build_cu_maps(cu_tree)
-            cu_map, attrs = built[bkey]
-            meta = compute_edge_metadata(pic, cu_map, attrs, direction,
-                                         sbs, filt.beta_offset,
-                                         filt.tc_offset, r)
-            if meta["xs"].size == 0:
-                continue
-            if do_luma:
-                mask, tc, beta = luma_edge_tensors(
-                    meta, sbs, filt.beta_offset, filt.tc_offset, bd)
-                h, w = pic.height, pic.width
-                if direction == 1:
-                    h, w = w, h
-                fn = make_luma_pass(h, w, sbs, bd, flags)
-                pl = planes_dev[0].T if direction == 1 else planes_dev[0]
-                pl = fn(pl, jnp.asarray(meta["xs"].astype(np.int32)),
-                        jnp.asarray(mask), jnp.asarray(tc),
-                        jnp.asarray(beta))
-                planes_dev[0] = pl.T if direction == 1 else pl
-            if do_chroma:
-                ct = chroma_edge_tensors(meta, direction, sbs,
-                                         filt.tc_offset, bd, csx, csy)
-                if ct is None:
+        plane_handles[comp] = batch.add(
+            rec.plane_view(comp).astype(np.int16))
+    with span("deblock.meta"):
+        for direction in (0, 1):
+            for cu_tree, sbs, do_luma, do_chroma in passes:
+                bkey = (cu_tree,)
+                if bkey not in built:
+                    built[bkey] = filt._build_cu_maps(cu_tree)
+                cu_map, attrs = built[bkey]
+                meta = compute_edge_metadata(pic, cu_map, attrs, direction,
+                                             sbs, filt.beta_offset,
+                                             filt.tc_offset, r)
+                if meta["xs"].size == 0:
                     continue
-                edges, apply, tc = ct
-                if not apply.any():
-                    continue
-                hc = rec.height[1] if direction == 0 else rec.width[1]
-                fn = make_chroma_pass(hc, len(edges), bd)
-                for comp in (1, 2):
-                    pl = planes_dev[comp].T if direction == 1 else \
-                        planes_dev[comp]
-                    pl = fn(pl, jnp.asarray(edges), jnp.asarray(apply),
-                            jnp.asarray(tc))
-                    planes_dev[comp] = pl.T if direction == 1 else pl
+                if do_luma:
+                    mask, tc, beta = luma_edge_tensors(
+                        meta, sbs, filt.beta_offset, filt.tc_offset, bd)
+                    work.append((direction, "luma", sbs,
+                                 batch.add(meta["xs"].astype(np.int32)),
+                                 batch.add(mask.astype(np.int32)),
+                                 batch.add(tc), batch.add(beta)))
+                if do_chroma:
+                    ct = chroma_edge_tensors(meta, direction, sbs,
+                                             filt.tc_offset, bd, csx, csy)
+                    if ct is None:
+                        continue
+                    edges, apply, tc = ct
+                    if not apply.any():
+                        continue
+                    work.append((direction, "chroma", len(edges),
+                                 batch.add(edges),
+                                 batch.add(apply.astype(np.int32)),
+                                 batch.add(tc)))
+    with span("deblock.upload"):
+        batch.upload()
 
+    # phase 2: run the passes with device-resident data
+    planes_dev = {comp: batch.get(h) for comp, h in plane_handles.items()}
+    for item in work:
+        direction, kind = item[0], item[1]
+        if kind == "luma":
+            _, _, sbs, hxs, hmask, htc, hbeta = item
+            h, w = pic.height, pic.width
+            if direction == 1:
+                h, w = w, h
+            fn = make_luma_pass(h, w, sbs, bd, flags, hxs[3])
+            pl = planes_dev[0].T if direction == 1 else planes_dev[0]
+            f32 = batch.flat(hxs)[0]
+            pl = fn(pl, f32, hxs[1], hmask[1], htc[1], hbeta[1])
+            planes_dev[0] = pl.T if direction == 1 else pl
+        else:
+            _, _, n_edges, hedges, happly, htc = item
+            hc = rec.height[1] if direction == 0 else rec.width[1]
+            fn = make_chroma_pass(hc, n_edges, bd)
+            f32 = batch.flat(hedges)[0]
+            for comp in (1, 2):
+                pl = planes_dev[comp].T if direction == 1 else \
+                    planes_dev[comp]
+                pl = fn(pl, f32, hedges[1], happly[1], htc[1])
+                planes_dev[comp] = pl.T if direction == 1 else pl
+
+    # Keep the final planes resident on the device for future MC
+    # references: edge-replicate padding (the device pad_border) plus a
+    # 64-sample right/bottom margin for bucketed MC windows.  The host
+    # copy (checksums/output) comes back in a single download.
+    dev_cache = {}
     for comp in range(pic.max_num_components):
-        rec.plane_view(comp)[:] = np.asarray(planes_dev[comp])
+        pl = planes_dev[comp]
+        px, py = rec.pad_x[comp], rec.pad_y[comp]
+        core = jnp.concatenate([
+            jnp.repeat(pl[:1], py, axis=0), pl,
+            jnp.repeat(pl[-1:], py + 64, axis=0)], axis=0)
+        full = jnp.concatenate([
+            jnp.repeat(core[:, :1], px, axis=1), core,
+            jnp.repeat(core[:, -1:], px + 64, axis=1)], axis=1)
+        dev_cache[comp] = full
+    rec._dev_planes = dev_cache
+    with span("deblock.download"):
+        flat, offs = dsp.gather_flat(
+            [planes_dev[c] for c in range(pic.max_num_components)])
+    for comp in range(pic.max_num_components):
+        off, shape = offs[comp]
+        rec.plane_view(comp)[:] = \
+            flat[off:off + int(np.prod(shape))].reshape(shape)

@@ -67,17 +67,24 @@ def _matrices(txv, txh, height, width, high_precision):
 
 @functools.lru_cache(maxsize=None)
 def make_dequant_itx(width, height, bitdepth, txv, txh, variant,
-                     high_precision):
+                     high_precision, batch_size):
     """Fused dequant + inverse transform for (B, height, width) coeff
     blocks.  variant: 'gen' | 'dst4' | 'skip' | 'dc'.
 
-    Returns jitted fn(coeff int32 (B,h,w), scale int32 (B,)) -> residual
-    int32 (B,h,w).  (ref: transform.cc inverse paths)
+    Returns jitted fn(flat16, coeff_off, flat32, scale_off) -> residual
+    int16 (B,h,w) (int32 for 'skip', whose residual can exceed 16 bits);
+    the inputs live in the picture's packed upload buffers and are
+    sliced on-device.  (ref: transform.cc inverse paths)
     """
     wl2, hl2 = width.bit_length() - 1, height.bit_length() - 1
 
-    def fn(coeff, scale):
-        dq = _dequant_expr(coeff, scale, width, height, bitdepth)
+    def fn(flat16, c_off, flat32, s_off):
+        coeff = jax.lax.dynamic_slice(
+            flat16, (c_off,), (batch_size * height * width,)).reshape(
+                batch_size, height, width)
+        scale = jax.lax.dynamic_slice(flat32, (s_off,), (batch_size,))
+        dq = _dequant_expr(coeff.astype(jnp.int32), scale, width, height,
+                           bitdepth)
         if variant == "skip":
             bias = ((wl2 + hl2) % 2) != 0
             tshift = k.MAX_TR_DYNAMIC_RANGE - bitdepth - ((wl2 + hl2) >> 1)
@@ -91,16 +98,18 @@ def make_dequant_itx(width, height, bitdepth, txv, txh, variant,
             add = 1 << (shift - 1)
             val = (((dq[:, 0, 0] + 1) >> 1) + add) >> shift
             return jnp.broadcast_to(val[:, None, None],
-                                    (coeff.shape[0], height, width))
+                                    (coeff.shape[0], height,
+                                     width)).astype(jnp.int16)
         if variant == "dst4":
             m = jnp.asarray(tx._DST4.astype(np.int32))
             s1, s2 = 7, 20 - bitdepth
             t = _clip16((jnp.einsum("ji,bjk->bik", m, dq,
                                     preferred_element_type=jnp.int32)
                          + (1 << (s1 - 1))) >> s1)
-            return _clip16((jnp.einsum("bij,jk->bik", t, m,
-                                       preferred_element_type=jnp.int32)
-                            + (1 << (s2 - 1))) >> s2)
+            out = _clip16((jnp.einsum("bij,jk->bik", t, m,
+                                      preferred_element_type=jnp.int32)
+                           + (1 << (s2 - 1))) >> s2)
+            return out.astype(jnp.int16)
         m1, m2, shift1, shift2 = _matrices(txv, txh, height, width,
                                            high_precision)
         shift2 = shift2 - bitdepth
@@ -111,9 +120,10 @@ def make_dequant_itx(width, height, bitdepth, txv, txh, variant,
         t = _clip16((jnp.einsum("ji,bjk->bik", mj1, dq[:, :in1, :cols],
                                 preferred_element_type=jnp.int32)
                      + (1 << (shift1 - 1))) >> shift1)
-        return _clip16((jnp.einsum("bij,jk->bik", t, mj2,
-                                   preferred_element_type=jnp.int32)
-                        + (1 << (shift2 - 1))) >> shift2)
+        out = _clip16((jnp.einsum("bij,jk->bik", t, mj2,
+                                  preferred_element_type=jnp.int32)
+                       + (1 << (shift2 - 1))) >> shift2)
+        return out.astype(jnp.int16)
 
     return jax.jit(fn)
 
@@ -132,11 +142,12 @@ def _filter_table(luma, high_prec):
 
 
 @functools.lru_cache(maxsize=None)
-def make_mc_kernel(width, height, luma, bitdepth, high_prec, short_out):
+def make_mc_kernel(width, height, luma, bitdepth, high_prec, short_out,
+                   batch_size):
     """Unified batched sub-pel MC (ref: inter_prediction.cc:1138-1378).
 
-    fn(planes int32 (R, Hp, Wp), ref_idx (B,), y0 (B,), x0 (B,),
-       fx (B,), fy (B,)) -> (B, height, width) int32
+    fn(planes int16 (R, Hp, Wp), flat32, params_off) where the packed
+    params rows are [ref_idx, y0, x0, fx, fy] -> (B, height, width) int16
 
     y0/x0 are padded-plane coords of the (taps-1)-extended window origin
     (i.e. block_origin - (taps/2 - 1)).  All four frac cases are
@@ -165,11 +176,15 @@ def make_mc_kernel(width, height, luma, bitdepth, high_prec, short_out):
             out = out + f[:, i, None, None] * src[:, i:i + height, :]
         return out
 
-    def fn(planes, ref_idx, y0, x0, fx, fy):
+    def fn(planes, flat32, p_off):
+        params = jax.lax.dynamic_slice(
+            flat32, (p_off,), (5 * batch_size,)).reshape(5, batch_size)
+        ref_idx, y0, x0, fx, fy = (params[0], params[1], params[2],
+                                   params[3], params[4])
         win = jax.vmap(
             lambda r, y, x: jax.lax.dynamic_slice(planes, (r, y, x),
                                                   (1, wh, ww))[0]
-        )(ref_idx, y0, x0)
+        )(ref_idx, y0, x0).astype(jnp.int32)
         f_x = table[fx]
         f_y = table[fy]
 
@@ -206,7 +221,7 @@ def make_mc_kernel(width, height, luma, bitdepth, high_prec, short_out):
         out = jnp.where(zx & zy, case00,
                         jnp.where(zy, case_h,
                                   jnp.where(zx, case_v, case_hv)))
-        return out
+        return out.astype(jnp.int16)
 
     return jax.jit(fn)
 
@@ -231,3 +246,74 @@ def pad_pow2(n):
     while p < n:
         p <<= 1
     return p
+
+
+# ---------------------------------------------------------------------------
+# Transfer batching: the TPU tunnel costs ~70-100 ms per transfer almost
+# independent of size, so all per-group inputs are packed into one flat
+# device upload per dtype and sliced on-device; all per-group outputs are
+# concatenated on-device and downloaded once.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _slicer(size, shape, dtype_name):
+    import jax.lax as lax
+
+    def fn(flat, off):
+        return lax.dynamic_slice(flat, (off,), (size,)).reshape(shape)
+
+    return jax.jit(fn)
+
+
+class DevBatch:
+    """Pack many host arrays into one upload; device-side slicing."""
+
+    def __init__(self):
+        self._host = {"int16": [], "int32": []}
+        self._sizes = {"int16": 0, "int32": 0}
+        self._dev = {}
+
+    def add(self, arr):
+        key = "int16" if arr.dtype == np.int16 else "int32"
+        off = self._sizes[key]
+        flat = arr.reshape(-1)
+        self._host[key].append(flat if arr.dtype.name == key
+                               else flat.astype(key))
+        self._sizes[key] += flat.size
+        return (key, off, arr.shape, flat.size)
+
+    def upload(self):
+        for key, chunks in self._host.items():
+            if not chunks:
+                continue
+            flat = np.concatenate(chunks)
+            pad = pad_pow2(flat.size) - flat.size
+            if pad:
+                flat = np.pad(flat, (0, pad))
+            self._dev[key] = jnp.asarray(flat)
+        self._host = {"int16": [], "int32": []}
+
+    def get(self, handle):
+        key, off, shape, size = handle
+        fn = _slicer(size, tuple(shape), key)
+        return fn(self._dev[key], off)
+
+    def flat(self, handle):
+        """(device flat buffer, offset) for kernels that slice
+        on-device themselves (saves one dispatch per input)."""
+        key, off, _, _ = handle
+        return self._dev[key], off
+
+
+def gather_flat(outs):
+    """Concatenate device arrays (same dtype) and download once.
+    Returns (np_flat, [(offset, shape)]) aligned with outs."""
+    offs = []
+    pos = 0
+    for o in outs:
+        offs.append((pos, o.shape))
+        pos += int(np.prod(o.shape))
+    if not outs:
+        return np.zeros((0,)), offs
+    flat = jnp.concatenate([o.reshape(-1) for o in outs])
+    return np.asarray(flat), offs

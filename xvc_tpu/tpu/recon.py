@@ -47,13 +47,31 @@ class JaxReconstructor:
 
     # ------------------------------------------------------------------
     def reconstruct_picture(self):
-        self._clear_all_marks()
-        self._for_each_leaf(self._collect_leaf)
-        resi = self._run_itx()
-        self._run_mc()
-        self._write_inter(resi)
-        self._clear_all_marks()
-        self._for_each_leaf(lambda cu: self._sequential_leaf(cu, resi))
+        from ..profiling import span
+        with span("recon.collect"):
+            self._clear_all_marks()
+            self._for_each_leaf(self._collect_leaf)
+        # One flat upload carries every group's inputs (the TPU tunnel
+        # costs ~100ms per transfer), groups slice it on-device, and all
+        # outputs come back in one device-side concat per stage.
+        with span("recon.prep"):
+            batch = dsp.DevBatch()
+            itx_prep = self._prep_itx(batch)
+            mc_prep = self._prep_mc(batch)
+        with span("recon.upload"):
+            batch.upload()
+        with span("recon.dispatch"):
+            itx_launched = self._launch_itx(batch, itx_prep)
+            mc_launched = self._launch_mc(batch, mc_prep)
+        with span("recon.itx"):
+            resi = self._gather_itx(itx_launched)
+        with span("recon.mc"):
+            self._gather_mc(mc_launched)
+        with span("recon.write_inter"):
+            self._write_inter(resi)
+        with span("recon.sequential"):
+            self._clear_all_marks()
+            self._for_each_leaf(lambda cu: self._sequential_leaf(cu, resi))
 
     # ------------------------------------------------------------------
     def _trees(self):
@@ -124,13 +142,24 @@ class JaxReconstructor:
             (cu.get_coeff(comp), scale, comp, cx, cy))
 
     def _plane_index(self, ref_pic, comp):
+        """Reference planes stay resident on the device across pictures:
+        the deblock stage attaches its padded device output to the
+        picture (_dev_planes); only planes never produced on device
+        (e.g. rescaled alt-rec pics, deblock-off streams) are uploaded.
+        Every entry is padded 64 right/bottom so bucketed MC windows
+        never clamp."""
         pkey = (id(ref_pic), comp)
         if pkey not in self._planes:
-            plane = ref_pic.padded_plane(comp)
-            shape = plane.shape
+            dev = getattr(ref_pic, "_dev_planes", None)
+            entry = dev.get(comp) if dev else None
+            if entry is None:
+                entry = np.pad(
+                    ref_pic.padded_plane(comp).astype(np.int16),
+                    ((0, 64), (0, 64)))
+            shape = entry.shape
             lst = self._stacks.setdefault(shape, [])
             self._planes[pkey] = (shape, len(lst))
-            lst.append(plane)
+            lst.append(entry)
         return self._planes[pkey]
 
     def _add_mc_jobs(self, cu, comp):
@@ -167,6 +196,16 @@ class JaxReconstructor:
         kind = "bi" if len(bufs) == 2 else "uni"
         self._inter_recs.append((cu, comp, kind, bufs))
 
+    @staticmethod
+    def _bucket(n):
+        """Round a block dimension up to {8,16,32,64} so MC batches
+        collapse into a few shapes (device compute for the padding is
+        discarded; dispatch latency dominates on the TPU tunnel)."""
+        b = 8
+        while b < n:
+            b <<= 1
+        return b
+
     def _emit_mc(self, ref_pic, comp, w, h, short, x0, y0, fx, fy,
                  buf, dy, dx):
         """Queue one sub-pel MC block; coords become padded-plane window
@@ -177,57 +216,96 @@ class JaxReconstructor:
         shape, ridx = self._plane_index(ref_pic, comp)
         ypad = ref_pic.pad_y[comp] + y0 - half
         xpad = ref_pic.pad_x[comp] + x0 - half
-        key = (w, h, luma, short, shape)
+        key = (self._bucket(w), self._bucket(h), luma, short, shape)
         self._mc_groups.setdefault(key, []).append(
-            (ridx, ypad, xpad, fx, fy, buf, dy, dx))
+            (ridx, ypad, xpad, fx, fy, w, h, buf, dy, dx))
 
     # ------------------------------------------------------------------
     # stage B: dequant + inverse transform on device
     # ------------------------------------------------------------------
-    def _run_itx(self):
-        resi = [None, None, None]
-        for c in range(self.pic.max_num_components):
-            resi[c] = np.zeros((self.rec.height[c], self.rec.width[c]),
-                               dtype=np.int32)
-        import jax.numpy as jnp
+    def _prep_itx(self, batch):
+        prep = []
         for (w, h, txv, txh, variant), jobs in self._itx_groups.items():
             b = len(jobs)
             bp = dsp.pad_pow2(b)
-            coeffs = np.zeros((bp, h, w), dtype=np.int32)
+            coeffs = np.zeros((bp, h, w), dtype=np.int16)
             scales = np.zeros((bp,), dtype=np.int32)
             for i, (coeff, scale, _, _, _) in enumerate(jobs):
                 coeffs[i] = coeff
                 scales[i] = scale
+            prep.append(((w, h, txv, txh, variant), jobs,
+                         batch.add(coeffs), batch.add(scales)))
+        return prep
+
+    def _launch_itx(self, batch, prep):
+        outs16, jobs16, outs32, jobs32 = [], [], [], []
+        for (w, h, txv, txh, variant), jobs, hc, hs in prep:
             fn = dsp.make_dequant_itx(w, h, self.bitdepth, txv, txh,
-                                      variant, self.hp_tx)
-            out = np.asarray(fn(jnp.asarray(coeffs), jnp.asarray(scales)))
-            for i, (_, _, comp, cx, cy) in enumerate(jobs):
-                resi[comp][cy:cy + h, cx:cx + w] = out[i]
+                                      variant, self.hp_tx,
+                                      dsp.pad_pow2(len(jobs)))
+            f16, c_off = batch.flat(hc)
+            f32, s_off = batch.flat(hs)
+            dev = fn(f16, c_off, f32, s_off)
+            if variant == "skip":
+                outs32.append(dev)
+                jobs32.append(((w, h), jobs))
+            else:
+                outs16.append(dev)
+                jobs16.append(((w, h), jobs))
+        return (dsp.gather_flat(outs16), jobs16,
+                dsp.gather_flat(outs32), jobs32)
+
+    def _gather_itx(self, launched):
+        resi = [None, None, None]
+        for c in range(self.pic.max_num_components):
+            resi[c] = np.zeros((self.rec.height[c], self.rec.width[c]),
+                               dtype=np.int32)
+        (flat16, offs16), jobs16, (flat32, offs32), jobs32 = launched
+        for flat, offs, groups in ((flat16, offs16, jobs16),
+                                   (flat32, offs32, jobs32)):
+            for (off, shape), ((w, h), jobs) in zip(offs, groups):
+                out = flat[off:off + int(np.prod(shape))].reshape(shape)
+                for i, (_, _, comp, cx, cy) in enumerate(jobs):
+                    resi[comp][cy:cy + h, cx:cx + w] = out[i]
         return resi
 
     # ------------------------------------------------------------------
     # stage C: motion compensation on device
     # ------------------------------------------------------------------
-    def _run_mc(self):
-        if not self._mc_groups:
-            return
-        import jax.numpy as jnp
-        dev_stacks = {shape: jnp.asarray(np.stack(planes))
-                      for shape, planes in self._stacks.items()}
-        for (w, h, luma, short, shape), jobs in self._mc_groups.items():
+    def _prep_mc(self, batch):
+        prep = []
+        for key, jobs in self._mc_groups.items():
             b = len(jobs)
             bp = dsp.pad_pow2(b)
             arr = np.zeros((5, bp), dtype=np.int32)
-            for i, (ridx, ypad, xpad, fx, fy, _, _, _) in enumerate(jobs):
+            for i, (ridx, ypad, xpad, fx, fy, _, _, _, _, _) in \
+                    enumerate(jobs):
                 arr[:, i] = (ridx, ypad, xpad, fx, fy)
-            fn = dsp.make_mc_kernel(w, h, luma, self.bitdepth,
-                                    self.hp_mv, short)
-            out = np.asarray(fn(dev_stacks[shape],
-                                jnp.asarray(arr[0]), jnp.asarray(arr[1]),
-                                jnp.asarray(arr[2]), jnp.asarray(arr[3]),
-                                jnp.asarray(arr[4])))
-            for i, (_, _, _, _, _, buf, dy, dx) in enumerate(jobs):
-                buf[dy:dy + h, dx:dx + w] = out[i]
+            prep.append((key, jobs, batch.add(arr)))
+        return prep
+
+    def _launch_mc(self, batch, prep):
+        if not prep:
+            return (np.zeros(0, np.int16), []), []
+        import jax.numpy as jnp
+        dev_stacks = {shape: jnp.stack([jnp.asarray(p) for p in planes])
+                      for shape, planes in self._stacks.items()}
+        outs, metas = [], []
+        for (wb, hb, luma, short, shape), jobs, hp in prep:
+            fn = dsp.make_mc_kernel(wb, hb, luma, self.bitdepth,
+                                    self.hp_mv, short,
+                                    dsp.pad_pow2(len(jobs)))
+            f32, p_off = batch.flat(hp)
+            outs.append(fn(dev_stacks[shape], f32, p_off))
+            metas.append(jobs)
+        return dsp.gather_flat(outs), metas
+
+    def _gather_mc(self, launched):
+        (flat, offs), metas = launched
+        for (off, shape), jobs in zip(offs, metas):
+            out = flat[off:off + int(np.prod(shape))].reshape(shape)
+            for i, (_, _, _, _, _, w, h, buf, dy, dx) in enumerate(jobs):
+                buf[dy:dy + h, dx:dx + w] = out[i, :h, :w]
 
     def _write_inter(self, resi):
         max_pel = (1 << self.bitdepth) - 1
