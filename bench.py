@@ -1,31 +1,138 @@
-"""Benchmark: flagship TPU analysis-step throughput.
+"""End-to-end benchmark: xvc_tpu vs the reference C++ codec, same host,
+same streams (BASELINE.md configs 1-2 shaped).
 
-Measures the batched 67-mode intra SATD analysis (the encoder's mode
-pre-pass, ref: src/xvc_enc_lib/intra_search.cc:188-303) over CIF frames
-on the current JAX device, in analyzed megapixels per second.
+Sections measured (all full-pipeline, wall-clock, same workload on both
+sides):
+  ref_*    reference divideon/xvc built -O3 Release (/tmp/refbuild)
+  host_*   xvc_tpu host path (Python session + native C++ kernels)
+  jax_*    xvc_tpu with XVC_DSP=jax (batched device reconstruction on
+           the current JAX backend - the real TPU when attached)
+  kernel_* stand-alone TPU kernel throughput (not comparable to full
+           codec numbers; listed separately)
 
-vs_baseline compares against the reference C++ xvcenc FULL all-intra
-encode throughput measured on this machine (0.00625 Mpix/s, 10 CIF
-frames, QP32, single thread) — a kernel-vs-encoder comparison until the
-full TPU encode pipeline lands; it shows how much headroom the TPU
-analysis path gives over the reference's CPU inner loop.
+The headline metric is 720p low-delay decode throughput of the device
+path; vs_baseline is ours / reference-xvcdec on the same stream (an
+honest <1 number until the CABAC tail and the host<->device tunnel stop
+dominating).  All decodes are verified bit-exact against the reference
+decoder before being timed.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Note: in this environment the TPU is behind a network tunnel with
+~70-100 ms per transfer and ~10 ms per dispatch; jax_* figures are
+tunnel-latency bound, not TPU-compute bound (see extra.tunnel_note).
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
-# Reference xvcenc full encode, all-intra CIF QP32, measured on this host.
-BASELINE_MPIX_S = 0.00625
+REF_BUILD = "/tmp/refbuild"
+WORK = "/tmp/xvc_bench"
+REPO = os.path.dirname(os.path.abspath(__file__))
+# prepend the repo but keep the environment's PYTHONPATH (it may carry
+# the TPU platform plugin)
+PYPATH = os.pathsep.join(
+    [REPO] + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH")
+              else []))
 
 
-def main():
+def ensure_reference():
+    enc = os.path.join(REF_BUILD, "app", "xvcenc")
+    dec = os.path.join(REF_BUILD, "app", "xvcdec")
+    if os.path.exists(enc) and os.path.exists(dec):
+        return enc, dec
+    os.makedirs(REF_BUILD, exist_ok=True)
+    subprocess.run(["cmake", "-DCMAKE_BUILD_TYPE=Release",
+                    "/root/reference"], cwd=REF_BUILD, check=True,
+                   capture_output=True)
+    subprocess.run(["make", "-j8", "xvc_enc_app", "xvc_dec_app"],
+                   cwd=REF_BUILD, check=True, capture_output=True)
+    return enc, dec
+
+
+def gen_yuv(path, w, h, n, seed=1):
+    if os.path.exists(path):
+        return
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    tex = rng.randint(-12, 13, (h + 64, w + 64)).astype(np.int32)
+    frames = []
+    for t in range(n):
+        base = (96 + 60 * np.sin(2 * np.pi * (xx + 3 * t) / w) *
+                np.cos(2 * np.pi * (yy + 2 * t) / h)).astype(np.int32)
+        base = base + tex[2 * t:2 * t + h, 3 * t:3 * t + w]
+        y = np.clip(base, 0, 255).astype(np.uint8)
+        u = np.clip(128 + 30 * np.sin(2 * np.pi * (xx[::2, ::2] + 5 * t)
+                                      / w), 0, 255).astype(np.uint8)
+        v = np.clip(128 - 30 * np.cos(2 * np.pi * (yy[::2, ::2] + 4 * t)
+                                      / h), 0, 255).astype(np.uint8)
+        frames += [y.tobytes(), u.tobytes(), v.tobytes()]
+    with open(path, "wb") as f:
+        f.write(b"".join(frames))
+
+
+def run_timed(cmd):
+    t0 = time.perf_counter()
+    subprocess.run(cmd, check=True, capture_output=True)
+    return time.perf_counter() - t0
+
+
+def ref_encode(enc, yuv, out, w, h, args):
+    return run_timed([enc, "-input-file", yuv, "-output-file", out,
+                      "-input-width", str(w), "-input-height", str(h),
+                      "-internal-bitdepth", "8"] + args)
+
+
+def our_decode_timed(bitstream_path, expect_path, dsp):
+    """Decode in a fresh process (clean jax state), verify bit-exact,
+    return seconds (decode loop only, after warmup when dsp=jax)."""
+    code = (
+        "import time,sys\n"
+        "bs = open(%r,'rb').read()\n"
+        "from xvc_tpu.codec.decoder import decode_stream\n"
+        "if %r == 'jax':\n"
+        "    decode_stream(bs)  # warm the compile caches\n"
+        "t0 = time.perf_counter()\n"
+        "pics = decode_stream(bs)\n"
+        "t = time.perf_counter() - t0\n"
+        "out = b''.join(p.bytes for p in pics)\n"
+        "assert all(p.conforming for p in pics), 'non-conforming'\n"
+        "assert out == open(%r,'rb').read(), 'not bit-exact'\n"
+        "print('T=%%.4f N=%%d' %% (t, len(pics)))\n"
+        % (bitstream_path, dsp, expect_path))
+    env = dict(os.environ, XVC_DSP=dsp, PYTHONPATH=PYPATH)
+    last_err = None
+    for _ in range(2):  # one retry: the TPU tunnel can drop transiently
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           cwd=REPO, capture_output=True, text=True)
+        if r.returncode == 0:
+            line = [ln for ln in r.stdout.splitlines()
+                    if ln.startswith("T=")][0]
+            return float(line.split()[0][2:]), int(line.split()[1][2:])
+        last_err = r.stderr[-500:]
+    raise RuntimeError("decode bench failed (%s): %s" % (dsp, last_err))
+
+
+def our_encode_timed(yuv, out, w, h, n_frames):
+    env = dict(os.environ, PYTHONPATH=PYPATH)
+    cmd = [sys.executable, os.path.join(REPO, "cli", "xvcenc.py"),
+           "-input-file", yuv, "-output-file", out,
+           "-input-width", str(w), "-input-height", str(h),
+           "-qp", "32", "-num-ref-pics", "0", "-sub-gop-length", "1",
+           "-speed-mode", "2"]
+    t0 = time.perf_counter()
+    subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
+                   check=True)
+    return time.perf_counter() - t0
+
+
+def kernel_throughput():
+    """Stand-alone 67-mode intra SATD analysis kernel (TPU MXU path)."""
     import jax
     import jax.numpy as jnp
     from xvc_tpu.tpu import analysis as an
-
     n, bitdepth = 8, 8
     w, h, frames = 352, 288, 32
     rng = np.random.RandomState(0)
@@ -40,22 +147,110 @@ def main():
     top = jnp.asarray(np.concatenate(tops))
     left = jnp.asarray(np.concatenate(lefts))
     fn = an.make_intra_satd_fn(n, bitdepth)
-
-    jax.block_until_ready(fn(orig, top, left))  # compile + warmup
-    iters = 10
+    # Distinct device-resident inputs per call (defeats any relay-side
+    # memoization) and a forced scalar read per call: block_until_ready
+    # does NOT wait for remote execution through the axon tunnel, so the
+    # only honest timing fence is reading a value back.
+    roll = jax.jit(lambda a, i: jnp.roll(a, i, axis=0))
+    variants = [(roll(orig, i), roll(top, i), roll(left, i))
+                for i in range(6)]
+    fsum = jax.jit(lambda o, t, l: jnp.sum(fn(o, t, l)))
+    int(fsum(*variants[0]))  # warm
     best = float("inf")
-    for _ in range(3):  # best-of-3 to damp host<->device tunnel jitter
+    for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(orig, top, left)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    mpix_s = (w * h * frames) / best / 1e6
+        vals = [fsum(*v) for v in variants[1:]]
+        for v in vals:
+            int(v)
+        best = min(best, (time.perf_counter() - t0) / (len(variants) - 1))
+    return (w * h * frames) / best / 1e6
+
+
+def _log(msg):
+    print("[bench] %s" % msg, file=sys.stderr, flush=True)
+
+
+def main():
+    os.makedirs(WORK, exist_ok=True)
+    enc, dec = ensure_reference()
+    extra = {}
+
+    # ---- content ----
+    cif = os.path.join(WORK, "cif16.yuv")
+    hd = os.path.join(WORK, "hd720_8.yuv")
+    small = os.path.join(WORK, "small2.yuv")
+    gen_yuv(cif, 352, 288, 16)
+    gen_yuv(hd, 1280, 720, 8)
+    gen_yuv(small, 64, 48, 2)
+
+    # ---- config 1: CIF all-intra QP32 (fast speed mode) ----
+    _log("config 1: CIF AI")
+    cif_bs = os.path.join(WORK, "cif_ai.xvc")
+    cif_dec = os.path.join(WORK, "cif_ai_dec.yuv")
+    if not os.path.exists(cif_bs):
+        t = ref_encode(enc, cif, cif_bs, 352, 288,
+                       ["-qp", "32", "-num-ref-pics", "0",
+                        "-sub-gop-length", "1", "-speed-mode", "2"])
+        extra["ref_encode_cif_ai_mpixs"] = round(352 * 288 * 16 / t / 1e6,
+                                                 4)
+    t = run_timed([dec, "-bitstream-file", cif_bs, "-output-file",
+                   cif_dec])
+    extra["ref_decode_cif_ai_mpixs"] = round(352 * 288 * 16 / t / 1e6, 3)
+    t, n = our_decode_timed(cif_bs, cif_dec, "host")
+    extra["host_decode_cif_ai_mpixs"] = round(352 * 288 * n / t / 1e6, 3)
+    t, n = our_decode_timed(cif_bs, cif_dec, "jax")
+    extra["jax_decode_cif_ai_mpixs"] = round(352 * 288 * n / t / 1e6, 3)
+
+    # ---- config 2: 720p low-delay QP32 1 ref (fast speed mode) ----
+    _log("config 2: 720p LD")
+    hd_bs = os.path.join(WORK, "hd720_ld.xvc")
+    hd_dec = os.path.join(WORK, "hd720_ld_dec.yuv")
+    if not os.path.exists(hd_bs):
+        t = ref_encode(enc, hd, hd_bs, 1280, 720,
+                       ["-qp", "32", "-num-ref-pics", "1",
+                        "-sub-gop-length", "1", "-speed-mode", "2"])
+        extra["ref_encode_720p_ld_mpixs"] = round(1280 * 720 * 8 / t / 1e6,
+                                                  4)
+    t = run_timed([dec, "-bitstream-file", hd_bs, "-output-file", hd_dec])
+    ref_720 = 1280 * 720 * 8 / t / 1e6
+    extra["ref_decode_720p_ld_mpixs"] = round(ref_720, 3)
+    t, n = our_decode_timed(hd_bs, hd_dec, "host")
+    extra["host_decode_720p_ld_mpixs"] = round(1280 * 720 * n / t / 1e6, 3)
+    t, n = our_decode_timed(hd_bs, hd_dec, "jax")
+    jax_720 = 1280 * 720 * n / t / 1e6
+    extra["jax_decode_720p_ld_mpixs"] = round(jax_720, 3)
+
+    # ---- encode comparison (small frames: our host encoder is the
+    # round-3 optimization target; same config both sides) ----
+    _log("encode comparison")
+    sm_ref = os.path.join(WORK, "small_ref.xvc")
+    t = ref_encode(enc, small, sm_ref, 64, 48,
+                   ["-qp", "32", "-num-ref-pics", "0",
+                    "-sub-gop-length", "1", "-speed-mode", "2"])
+    extra["ref_encode_64x48_ai_mpixs"] = round(64 * 48 * 2 / t / 1e6, 4)
+    sm_ours = os.path.join(WORK, "small_ours.xvc")
+    t = our_encode_timed(small, sm_ours, 64, 48, 2)
+    extra["host_encode_64x48_ai_mpixs"] = round(64 * 48 * 2 / t / 1e6, 4)
+
+    # ---- stand-alone TPU kernel (separate section, not comparable) ----
+    _log("kernel throughput")
+    try:
+        extra["kernel_intra67_satd_mpixs"] = round(kernel_throughput(), 1)
+    except Exception as e:  # no jax backend available
+        extra["kernel_error"] = repr(e)[:120]
+
+    import jax
+    extra["jax_backend"] = jax.default_backend()
+    extra["tunnel_note"] = ("jax_* numbers include ~70-100ms/transfer "
+                            "tunnel latency; bit-exactness verified "
+                            "vs reference xvcdec on every timed stream")
+
     print(json.dumps({
-        "metric": "intra_analysis_67mode_throughput",
-        "value": round(mpix_s, 3),
+        "metric": "decode_720p_ld_jax_device_path",
+        "value": round(jax_720, 3),
         "unit": "Mpix/s",
-        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 1),
+        "vs_baseline": round(jax_720 / ref_720, 4),
+        "extra": extra,
     }))
 
 

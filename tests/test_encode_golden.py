@@ -48,3 +48,25 @@ def test_all_intra_10bit_byte_exact():
 @pytest.mark.slow
 def test_low_delay_byte_exact():
     encode_golden("ld64x48", num_ref_pics=1, sub_gop_length=1, low_delay=1)
+
+
+def test_all_intra_16x16_byte_exact_jax_prepass(monkeypatch):
+    """The batched device SATD pre-pass (XVC_INTRA_PREPASS=jax,
+    xvc_tpu/tpu/intra_batch.py wired into intra_search.py) must leave
+    the bitstream byte-identical to the host loop — the same contract
+    the reference pins between SIMD and scalar encoders
+    (ref: test/xvc_test/simd_test.cc:149-176)."""
+    monkeypatch.setenv("XVC_INTRA_PREPASS", "jax")
+    encode_golden("ai16x16", num_ref_pics=0, sub_gop_length=1)
+
+
+@pytest.mark.slow
+def test_all_intra_64x48_byte_exact_jax_prepass(monkeypatch):
+    monkeypatch.setenv("XVC_INTRA_PREPASS", "jax")
+    encode_golden("ai64x48", num_ref_pics=0, sub_gop_length=1)
+
+
+@pytest.mark.slow
+def test_low_delay_byte_exact_jax_prepass(monkeypatch):
+    monkeypatch.setenv("XVC_INTRA_PREPASS", "jax")
+    encode_golden("ld64x48", num_ref_pics=1, sub_gop_length=1, low_delay=1)

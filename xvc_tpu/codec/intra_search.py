@@ -14,6 +14,28 @@ from .transform_encoder import (TxSearchFlags, load_comp_state,
                                 save_comp_state)
 
 _COST_MAX = (1 << 62)
+
+_DEFAULT_RESTR = None
+
+
+def _intra_restrictions_default(restr):
+    """The batched device pre-pass kernel implements the default
+    (unrestricted) intra toolset; restricted configs use the host loop."""
+    global _DEFAULT_RESTR
+    if _DEFAULT_RESTR is None:
+        from ..restrictions import Restrictions
+        _DEFAULT_RESTR = Restrictions()
+    for f in ("disable_intra_ref_padding", "disable_intra_ref_sample_filter",
+              "disable_intra_dc_post_filter",
+              "disable_intra_ver_hor_post_filter", "disable_intra_planar",
+              "disable_ext2_intra_67_modes",
+              "disable_ext2_intra_6_predictors",
+              "disable_ext_intra_unrestricted_predictor"):
+        if getattr(restr, f, None) != getattr(_DEFAULT_RESTR, f, None):
+            return False
+    return True
+
+
 _NUM_INTRA_FAST_MODES_EXT = (
     (0, 0, 0, 0, 0, 0, 0, 0),
     (0, 0, 0, 0, 0, 0, 0, 0),
@@ -126,6 +148,29 @@ class IntraSearch:
             load_comp_state(cu, rec_pic, 2, self._best_state[2])
         return best_dist
 
+    def _jax_prepass_satd(self, cu, rec_pic):
+        """All-mode SATD for one CU on the device (closed-loop refs),
+        bit-identical to the host metric (weight 1.0 for luma)."""
+        import jax.numpy as jnp
+        from ..tpu import analysis as an
+        comp = 0
+        cx, cy = cu.pos(comp)
+        w, h = cu.size(comp)
+        restr = self.pic.restrictions
+        plane = rec_pic.plane_view(comp)
+        has_left = cx > 0
+        has_above = cy > 0
+        sbl = cu.get_cu_size_below_left(comp) if has_left else 0
+        sar = cu.get_cu_size_above_right(comp) if has_above else 0
+        top, left = ip.compute_ref_samples(
+            w, h, plane, cx, cy, has_left, has_above,
+            has_left and has_above, sbl, sar, self.bitdepth, restr)
+        orig = self.orig_pic.plane_view(comp)[cy:cy + h, cx:cx + w]
+        fn = an.make_intra_satd_fn(w, self.bitdepth)
+        costs = fn(jnp.asarray(orig[None].astype(np.int32)),
+                   jnp.asarray(top[None]), jnp.asarray(left[None]))
+        return np.asarray(costs)[0]
+
     def compress_intra_fast(self, cu, comp, qp, writer, encoder, rec_pic,
                             helpers):
         return self.predict_and_transform(cu, comp, qp, writer, encoder,
@@ -158,12 +203,27 @@ class IntraSearch:
         mpm = intra_modes.get_predictor_luma(cu, restr)
         modes_cost = []
 
+        # Batched device pre-pass: all 67 mode SATDs in one jitted call
+        # against the current (closed-loop) reference samples — identical
+        # values to the per-mode host loop, so the bitstream is
+        # byte-identical (ref: intra_search.cc:188-303).
+        satd_all = None
+        from ..engine import use_jax_intra_prepass
+        if (use_jax_intra_prepass() and w == h and 4 <= w <= 32 and
+                not restr.disable_ext2_intra_67_modes and
+                _intra_restrictions_default(restr)):
+            satd_all = self._jax_prepass_satd(cu, rec_pic)
+
         def eval_mode(intra_mode):
-            pred = helpers.predict_intra_mode(cu, comp, intra_mode, rec_pic)
+            if satd_all is not None:
+                dist = int(satd_all[intra_mode])
+            else:
+                pred = helpers.predict_intra_mode(cu, comp, intra_mode,
+                                                  rec_pic)
+                dist = self.satd_metric.compare(qp, comp, orig_blk, pred)
             rdo_writer = SyntaxWriter.rdo_clone(bitstream_writer, 0)
             rdo_writer.write_intra_mode(intra_mode, mpm)
             bits = rdo_writer.get_num_written_bits()
-            dist = self.satd_metric.compare(qp, comp, orig_blk, pred)
             return dist + bits * qp.lambda_sqrt
 
         for i in range(num_intra_modes):

@@ -13,6 +13,7 @@ jitted call.  Batch sizes are padded to powers of two so the compile
 cache stays small.
 """
 import functools
+import os
 
 import numpy as np
 
@@ -22,6 +23,17 @@ import jax.numpy as jnp
 from .. import constants as k
 from ..codec import inter_mc as mc
 from ..ops import transform as tx
+
+# Persistent XLA compilation cache: decode kernels are shape-specialized
+# and identical across processes, so cold-start cost drops to cache
+# lookups.  Opt out with XVC_JAX_CACHE_DIR=""
+_cache_dir = os.environ.get("XVC_JAX_CACHE_DIR", "/tmp/xvc_jax_cache")
+if _cache_dir:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
 
 _HIGH_PREC_SHIFT = 2
 
@@ -65,24 +77,12 @@ def _matrices(txv, txh, height, width, high_precision):
     return (m1.astype(np.int32), m2.astype(np.int32), shift1, shift2)
 
 
-@functools.lru_cache(maxsize=None)
-def make_dequant_itx(width, height, bitdepth, txv, txh, variant,
-                     high_precision, batch_size):
-    """Fused dequant + inverse transform for (B, height, width) coeff
-    blocks.  variant: 'gen' | 'dst4' | 'skip' | 'dc'.
-
-    Returns jitted fn(flat16, coeff_off, flat32, scale_off) -> residual
-    int16 (B,h,w) (int32 for 'skip', whose residual can exceed 16 bits);
-    the inputs live in the picture's packed upload buffers and are
-    sliced on-device.  (ref: transform.cc inverse paths)
-    """
+def _itx_core(coeff, scale, width, height, bitdepth, txv, txh, variant,
+              high_precision):
+    """Shared math for the fused dequant + inverse transform
+    (ref: transform.cc inverse paths)."""
     wl2, hl2 = width.bit_length() - 1, height.bit_length() - 1
-
-    def fn(flat16, c_off, flat32, s_off):
-        coeff = jax.lax.dynamic_slice(
-            flat16, (c_off,), (batch_size * height * width,)).reshape(
-                batch_size, height, width)
-        scale = jax.lax.dynamic_slice(flat32, (s_off,), (batch_size,))
+    if True:  # (indent kept shallow for the shared body below)
         dq = _dequant_expr(coeff.astype(jnp.int32), scale, width, height,
                            bitdepth)
         if variant == "skip":
@@ -125,6 +125,42 @@ def make_dequant_itx(width, height, bitdepth, txv, txh, variant,
                        + (1 << (shift2 - 1))) >> shift2)
         return out.astype(jnp.int16)
 
+
+@functools.lru_cache(maxsize=None)
+def make_dequant_itx(width, height, bitdepth, txv, txh, variant,
+                     high_precision, batch_size):
+    """Fused dequant + inverse transform for (B, height, width) coeff
+    blocks.  variant: 'gen' | 'dst4' | 'skip' | 'dc'.
+
+    Returns jitted fn(flat16, coeff_off, flat32, scale_off) -> residual
+    int16 (B,h,w) (int32 for 'skip', whose residual can exceed 16 bits);
+    the inputs live in the picture's packed upload buffers and are
+    sliced on-device.
+    """
+
+    def fn(flat16, c_off, flat32, s_off):
+        coeff = jax.lax.dynamic_slice(
+            flat16, (c_off,), (batch_size * height * width,)).reshape(
+                batch_size, height, width)
+        scale = jax.lax.dynamic_slice(flat32, (s_off,), (batch_size,))
+        return _itx_core(coeff, scale, width, height, bitdepth, txv, txh,
+                         variant, high_precision)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def make_dequant_itx_direct(width, height, bitdepth, txv, txh, variant,
+                            high_precision):
+    """Direct-argument variant of make_dequant_itx:
+    fn(coeff int16 (B,h,w), scale int32 (B,)).  Used by the sharded
+    multi-device path, where inputs carry a NamedSharding over the
+    block batch axis (data parallelism over CU blocks)."""
+
+    def fn(coeff, scale):
+        return _itx_core(coeff, scale, width, height, bitdepth, txv, txh,
+                         variant, high_precision)
+
     return jax.jit(fn)
 
 
@@ -141,13 +177,12 @@ def _filter_table(luma, high_prec):
     return t.astype(np.int32)
 
 
-@functools.lru_cache(maxsize=None)
-def make_mc_kernel(width, height, luma, bitdepth, high_prec, short_out,
-                   batch_size):
-    """Unified batched sub-pel MC (ref: inter_prediction.cc:1138-1378).
+def _mc_core_builder(width, height, luma, bitdepth, high_prec, short_out):
+    """Unified batched sub-pel MC core (ref: inter_prediction.cc:
+    1138-1378).
 
-    fn(planes int16 (R, Hp, Wp), flat32, params_off) where the packed
-    params rows are [ref_idx, y0, x0, fx, fy] -> (B, height, width) int16
+    Returns compute(planes int16 (R,Hp,Wp), ref_idx, y0, x0, fx, fy)
+    -> (B, height, width) int16.
 
     y0/x0 are padded-plane coords of the (taps-1)-extended window origin
     (i.e. block_origin - (taps/2 - 1)).  All four frac cases are
@@ -176,11 +211,7 @@ def make_mc_kernel(width, height, luma, bitdepth, high_prec, short_out,
             out = out + f[:, i, None, None] * src[:, i:i + height, :]
         return out
 
-    def fn(planes, flat32, p_off):
-        params = jax.lax.dynamic_slice(
-            flat32, (p_off,), (5 * batch_size,)).reshape(5, batch_size)
-        ref_idx, y0, x0, fx, fy = (params[0], params[1], params[2],
-                                   params[3], params[4])
+    def fn(planes, ref_idx, y0, x0, fx, fy):
         win = jax.vmap(
             lambda r, y, x: jax.lax.dynamic_slice(planes, (r, y, x),
                                                   (1, wh, ww))[0]
@@ -222,6 +253,39 @@ def make_mc_kernel(width, height, luma, bitdepth, high_prec, short_out,
                         jnp.where(zy, case_h,
                                   jnp.where(zx, case_v, case_hv)))
         return out.astype(jnp.int16)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def make_mc_kernel(width, height, luma, bitdepth, high_prec, short_out,
+                   batch_size):
+    """Packed-upload MC kernel: fn(planes, flat32, params_off) where the
+    packed params rows are [ref_idx, y0, x0, fx, fy]."""
+    core = _mc_core_builder(width, height, luma, bitdepth, high_prec,
+                            short_out)
+
+    def fn(planes, flat32, p_off):
+        params = jax.lax.dynamic_slice(
+            flat32, (p_off,), (5 * batch_size,)).reshape(5, batch_size)
+        return core(planes, params[0], params[1], params[2], params[3],
+                    params[4])
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def make_mc_kernel_direct(width, height, luma, bitdepth, high_prec,
+                          short_out):
+    """Direct-argument MC kernel: fn(planes, params int32 (5, B)).
+    Used by the sharded multi-device path (params sharded over the
+    block batch axis, reference planes replicated)."""
+    core = _mc_core_builder(width, height, luma, bitdepth, high_prec,
+                            short_out)
+
+    def fn(planes, params):
+        return core(planes, params[0], params[1], params[2], params[3],
+                    params[4])
 
     return jax.jit(fn)
 

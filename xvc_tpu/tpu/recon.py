@@ -51,18 +51,26 @@ class JaxReconstructor:
         with span("recon.collect"):
             self._clear_all_marks()
             self._for_each_leaf(self._collect_leaf)
-        # One flat upload carries every group's inputs (the TPU tunnel
-        # costs ~100ms per transfer), groups slice it on-device, and all
-        # outputs come back in one device-side concat per stage.
-        with span("recon.prep"):
-            batch = dsp.DevBatch()
-            itx_prep = self._prep_itx(batch)
-            mc_prep = self._prep_mc(batch)
-        with span("recon.upload"):
-            batch.upload()
-        with span("recon.dispatch"):
-            itx_launched = self._launch_itx(batch, itx_prep)
-            mc_launched = self._launch_mc(batch, mc_prep)
+        from ..engine import get_mesh
+        mesh = get_mesh()
+        if mesh is not None:
+            with span("recon.dispatch"):
+                itx_launched = self._launch_itx_sharded(mesh)
+                mc_launched = self._launch_mc_sharded(mesh)
+        else:
+            # One flat upload carries every group's inputs (the TPU
+            # tunnel costs ~100ms per transfer), groups slice it
+            # on-device, and all outputs come back in one device-side
+            # concat per stage.
+            with span("recon.prep"):
+                batch = dsp.DevBatch()
+                itx_prep = self._prep_itx(batch)
+                mc_prep = self._prep_mc(batch)
+            with span("recon.upload"):
+                batch.upload()
+            with span("recon.dispatch"):
+                itx_launched = self._launch_itx(batch, itx_prep)
+                mc_launched = self._launch_mc(batch, mc_prep)
         with span("recon.itx"):
             resi = self._gather_itx(itx_launched)
         with span("recon.mc"):
@@ -306,6 +314,63 @@ class JaxReconstructor:
             out = flat[off:off + int(np.prod(shape))].reshape(shape)
             for i, (_, _, _, _, _, w, h, buf, dy, dx) in enumerate(jobs):
                 buf[dy:dy + h, dx:dx + w] = out[i, :h, :w]
+
+    # ------------------------------------------------------------------
+    # sharded variants: block batches carry a NamedSharding over the
+    # mesh 'blk' axis (dp over CU blocks), reference planes replicated
+    # ------------------------------------------------------------------
+    def _launch_itx_sharded(self, mesh):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_dev = int(mesh.devices.size)
+        s3 = NamedSharding(mesh, P("blk", None, None))
+        s1 = NamedSharding(mesh, P("blk"))
+        outs16, jobs16, outs32, jobs32 = [], [], [], []
+        for (w, h, txv, txh, variant), jobs in self._itx_groups.items():
+            bp = max(dsp.pad_pow2(len(jobs)), n_dev)
+            coeffs = np.zeros((bp, h, w), dtype=np.int16)
+            scales = np.zeros((bp,), dtype=np.int32)
+            for i, (coeff, scale, _, _, _) in enumerate(jobs):
+                coeffs[i] = coeff
+                scales[i] = scale
+            fn = dsp.make_dequant_itx_direct(w, h, self.bitdepth, txv,
+                                             txh, variant, self.hp_tx)
+            dev = fn(jax.device_put(coeffs, s3),
+                     jax.device_put(scales, s1))
+            if variant == "skip":
+                outs32.append(dev)
+                jobs32.append(((w, h), jobs))
+            else:
+                outs16.append(dev)
+                jobs16.append(((w, h), jobs))
+        return (dsp.gather_flat(outs16), jobs16,
+                dsp.gather_flat(outs32), jobs32)
+
+    def _launch_mc_sharded(self, mesh):
+        if not self._mc_groups:
+            return (np.zeros(0, np.int16), []), []
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_dev = int(mesh.devices.size)
+        repl = NamedSharding(mesh, P(None, None, None))
+        sp = NamedSharding(mesh, P(None, "blk"))
+        dev_stacks = {
+            shape: jax.device_put(
+                jnp.stack([jnp.asarray(p) for p in planes]), repl)
+            for shape, planes in self._stacks.items()}
+        outs, metas = [], []
+        for (wb, hb, luma, short, shape), jobs in self._mc_groups.items():
+            bp = max(dsp.pad_pow2(len(jobs)), n_dev)
+            arr = np.zeros((5, bp), dtype=np.int32)
+            for i, (ridx, ypad, xpad, fx, fy, _, _, _, _, _) in \
+                    enumerate(jobs):
+                arr[:, i] = (ridx, ypad, xpad, fx, fy)
+            fn = dsp.make_mc_kernel_direct(wb, hb, luma, self.bitdepth,
+                                           self.hp_mv, short)
+            outs.append(fn(dev_stacks[shape], jax.device_put(arr, sp)))
+            metas.append(jobs)
+        return dsp.gather_flat(outs), metas
 
     def _write_inter(self, resi):
         max_pel = (1 << self.bitdepth) - 1
