@@ -68,23 +68,36 @@ class Decoder:
         self.output_color_matrix = k.ColorMatrix.UNDEFINED
         self.dither = False
 
+    # Corrupt payloads must never kill the session: the reference
+    # decoder returns error codes / flags conformance instead of
+    # aborting (ref: decoder.cc:480-495, test/xvc_test/
+    # decoder_api_test.cc).  Any parse-level exception from garbage
+    # input is contained here.
+    _PARSE_ERRORS = (ValueError, KeyError, IndexError, OverflowError,
+                     ZeroDivisionError, RuntimeError, MemoryError)
+
     # ---- public API ----
     def decode_nal(self, nal, user_data=0):
-        bit_reader = BitReader(nal)
-        nal_type = seg.parse_nal_unit_header(bit_reader,
-                                             self.accept_xvc_bit_zero)
-        if nal_type is None:
+        try:
+            bit_reader = BitReader(nal)
+            nal_type = seg.parse_nal_unit_header(bit_reader,
+                                                 self.accept_xvc_bit_zero)
+            if nal_type is None:
+                return False
+            if nal_type == k.NalUnitType.SEGMENT_HEADER:
+                return self._decode_segment_header_nal(bit_reader)
+            if self.state in (DecoderState.NO_SEGMENT_HEADER,
+                              DecoderState.DECODER_VERSION_TOO_LOW,
+                              DecoderState.BITSTREAM_BITDEPTH_TOO_HIGH,
+                              DecoderState.BITSTREAM_VERSION_TOO_LOW):
+                return False
+            if int(nal_type) <= int(k.NalUnitType.RESERVED_PICTURE_TYPE_10):
+                return self._decode_picture_nal(nal, user_data, bit_reader)
             return False
-        if nal_type == k.NalUnitType.SEGMENT_HEADER:
-            return self._decode_segment_header_nal(bit_reader)
-        if self.state in (DecoderState.NO_SEGMENT_HEADER,
-                          DecoderState.DECODER_VERSION_TOO_LOW,
-                          DecoderState.BITSTREAM_BITDEPTH_TOO_HIGH,
-                          DecoderState.BITSTREAM_VERSION_TOO_LOW):
+        except self._PARSE_ERRORS:
+            self.num_corrupted_pics += 1
+            self.state = DecoderState.CHECKSUM_MISMATCH
             return False
-        if int(nal_type) <= int(k.NalUnitType.RESERVED_PICTURE_TYPE_10):
-            return self._decode_picture_nal(nal, user_data, bit_reader)
-        return False
 
     def flush(self):
         """(ref: decoder.cc:332-362 FlushBufferedNalUnits)"""
@@ -104,7 +117,10 @@ class Decoder:
                     self.sub_gop_start_poc = self.sub_gop_end_poc
                     self.sub_gop_end_poc += self.sub_gop_length
                 for nal, ud in self.nal_buffer:
-                    self._decode_one_buffered_nal(nal, ud)
+                    try:
+                        self._decode_one_buffered_nal(nal, ud)
+                    except self._PARSE_ERRORS:
+                        self.num_corrupted_pics += 1
                 self.nal_buffer = []
         self.state = DecoderState.NO_SEGMENT_HEADER
 
@@ -294,7 +310,7 @@ class Decoder:
             success = pic_dec.decode(segment_header,
                                      self.prev_segment_header,
                                      bit_reader, True)
-        except ValueError:
+        except self._PARSE_ERRORS:
             # Corrupt/truncated payload: keep the session alive and mark
             # the picture non-conforming (ref: the C++ decoder never
             # throws; garbage parses surface as checksum mismatches,

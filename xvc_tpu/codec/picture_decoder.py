@@ -75,12 +75,20 @@ def decode_header(segment_header, bit_reader, state, prev_sub_gop_length,
         state["sub_gop_start_poc"] += state["sub_gop_length"]
     if doc > 0 and doc <= state["sub_gop_start_poc"]:
         doc = state["sub_gop_start_poc"] + 1
+    # Bounded tid resync: the reference loop (picture_decoder.cc:111-118)
+    # is unbounded and spins forever on a corrupt tid; valid resync
+    # (dropped temporal layers / truncated sub-GOPs) converges within a
+    # sub-GOP span, so cap the walk and reject the NAL beyond it.
+    resync_cap = 4 * k.MAX_SUB_GOP_LENGTH + 16
     while not segment_header.low_delay and \
             seg.calc_tid_from_doc(doc, state["sub_gop_length"],
                                   state["sub_gop_start_poc"]) != tid:
         doc += 1
         if doc > state["sub_gop_end_poc"]:
             state["sub_gop_start_poc"] = state["sub_gop_end_poc"]
+        resync_cap -= 1
+        if resync_cap <= 0:
+            raise ValueError("unresolvable tid in picture header")
     if tid == 0:
         state["sub_gop_end_poc"] = seg.calc_poc_from_doc(
             doc, state["sub_gop_length"], state["sub_gop_start_poc"])
