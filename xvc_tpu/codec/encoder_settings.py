@@ -52,6 +52,15 @@ class EncoderSettings:
     fast_inter_local_illumination_comp: int = -1
     fast_inter_adaptive_fullpel_mv: int = -1
 
+    # TPU lookahead speed feature (this framework only, not in the
+    # reference): one whole-frame open-loop 67-mode SATD analysis on the
+    # device replaces the per-CU closed-loop mode pre-pass ranking.
+    # RD-equivalent fast mode: the bitstream differs from the reference
+    # (mode candidate ordering comes from open-loop costs) but stays
+    # conforming; enable via
+    #   -explicit-encoder-settings "tpu_intra_lookahead 1"
+    tpu_intra_lookahead: int = 0
+
     # defaults used in all speed modes
     fast_merge_eval: int = 1
     fast_quad_split_based_on_binary_split: int = 1

@@ -58,6 +58,9 @@ class IntraSearch:
         self.satd_metric = met.SampleMetric(bitdepth, met.MetricType.SATD)
         self.cu_writer = cu_writer
         self._best_state = {}
+        # per-picture open-loop device cost maps ({n: [bh,bw,67]}), set
+        # by PictureEncoder when tpu_intra_lookahead is enabled
+        self.lookahead = None
 
     # ---- prediction ----
     def predict(self, cu, comp, mode, rec_pic, cu_decoder_helpers):
@@ -202,6 +205,28 @@ class IntraSearch:
         evaluated = [False] * k.NBR_INTRA_MODES_EXT
         mpm = intra_modes.get_predictor_luma(cu, restr)
         modes_cost = []
+
+        # RD-equivalent fast mode: rank candidates from the whole-frame
+        # open-loop device cost maps (xvc_tpu/tpu/lookahead.py) instead
+        # of evaluating modes per CU.  Different (conforming) bitstream;
+        # quality pinned by tests/test_tpu_lookahead.py.
+        if (self.lookahead is not None and w == h and w in self.lookahead
+                and cx % w == 0 and cy % h == 0 and
+                not restr.disable_ext2_intra_67_modes):
+            costs = self.lookahead[w][cy // h, cx // w]
+            width_log2 = w.bit_length() - 1
+            height_log2 = h.bit_length() - 1
+            num_slow = _NUM_INTRA_FAST_MODES_NO_EXT[min(width_log2, 6)]
+            if self.settings.fast_intra_mode_eval_level == 2:
+                num_slow = _NUM_INTRA_FAST_MODES_EXT[width_log2][height_log2]
+            elif self.settings.fast_intra_mode_eval_level == 0:
+                num_slow = 33
+            order = np.argsort(costs, kind="stable")
+            out = [int(m) for m in order[:num_slow]]
+            for i in range(mpm.num_neighbor_modes):
+                if mpm[i] not in out:
+                    out.append(mpm[i])
+            return out
 
         # Batched device pre-pass: all 67 mode SATDs in one jitted call
         # against the current (closed-loop) reference samples — identical

@@ -105,6 +105,11 @@ class PictureEncoder:
         writer = SyntaxWriter(base_qp, pd.get_prediction_type(), bit_writer,
                               segment.restrictions)
         cu_encoder = CuEncoder(self.orig_pic, self.rec_pic, pd, settings)
+        if settings.tpu_intra_lookahead:
+            from ..tpu.lookahead import frame_intra_lookahead
+            cu_encoder.intra_search.lookahead = frame_intra_lookahead(
+                self.orig_pic.plane_view(0), pd.bitdepth,
+                segment.restrictions)
         if not pd.is_intra_pic():
             from .inter_me import InterSearch
             cu_encoder.inter_search = InterSearch(cu_encoder)

@@ -183,6 +183,12 @@ def _bind(lib):
     lib.xvcn_mc_unipred.argtypes = [
         c.c_int, c.c_void_p, c.c_int64, c.c_int, c.c_int, c.c_int, c.c_int,
         c.c_int, c.c_int, c.c_int, c.c_int, c.c_int, c.c_void_p]
+    lib.xvcn_inv_transform.argtypes = [
+        c.c_void_p, c.c_int, c.c_int, c.c_void_p, c.c_void_p,
+        c.c_int, c.c_int, c.c_int, c.c_void_p]
+    lib.xvcn_fwd_transform.argtypes = [
+        c.c_void_p, c.c_int, c.c_int, c.c_void_p, c.c_void_p,
+        c.c_int, c.c_int, c.c_int, c.c_void_p]
     lib.xvcn_version.restype = c.c_int
     return lib
 

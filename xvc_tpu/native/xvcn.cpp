@@ -2723,3 +2723,77 @@ XVCN_API void xvcn_mc_unipred(
       }
   }
 }
+
+// ---------------------------------------------------------------------------
+// Separable integer transforms in GEMM form (the matrices are supplied
+// by Python from the generated closed-form tables; behavioral twin of
+// xvc_tpu/ops/transform.py, ref: src/xvc_common_lib/transform.cc).
+// All sums fit 32 bits (|m| <= 2^8, |coeff| <= 2^15, <=64 terms) but we
+// accumulate in 64 bits to mirror the Python/NumPy int64 semantics.
+// ---------------------------------------------------------------------------
+
+static inline int32_t xvcn_clip16i(int64_t v) {
+  if (v < -32768) return -32768;
+  if (v > 32767) return 32767;
+  return (int32_t)v;
+}
+
+// inverse: out = clip16((clip16((M1[:in1]^T C[:in1,:c1] + a1) >> s1)
+//                        [:, :in2] M2[:in2] + a2) >> s2)
+XVCN_API void xvcn_inv_transform(
+    const int32_t* coeff, int height, int width,
+    const int32_t* m1, const int32_t* m2,
+    int shift1, int shift2, int zo_min, int32_t* out) {
+  int in1 = height < zo_min ? height : zo_min;
+  int cols1 = width < zo_min ? width : zo_min;
+  int in2 = width < zo_min ? width : zo_min;
+  int64_t a1 = (int64_t)1 << (shift1 - 1);
+  int64_t a2 = (int64_t)1 << (shift2 - 1);
+  int32_t temp[64 * 64];
+  for (int i = 0; i < height; i++) {
+    for (int j = 0; j < cols1; j++) {
+      int64_t sum = 0;
+      for (int r = 0; r < in1; r++)
+        sum += (int64_t)m1[r * height + i] * coeff[r * width + j];
+      temp[i * 64 + j] = xvcn_clip16i((sum + a1) >> shift1);
+    }
+  }
+  for (int i = 0; i < height; i++) {
+    for (int j = 0; j < width; j++) {
+      int64_t sum = 0;
+      for (int r = 0; r < in2; r++)
+        sum += (int64_t)temp[i * 64 + r] * m2[r * width + j];
+      out[i * width + j] = xvcn_clip16i((sum + a2) >> shift2);
+    }
+  }
+}
+
+// forward: temp = (R Mh[:o1]^T + a1) >> s1 ; C[:o2,:o1] = (Mv[:o2] temp
+// + a2) >> s2, zero elsewhere
+XVCN_API void xvcn_fwd_transform(
+    const int32_t* resi, int height, int width,
+    const int32_t* mh, const int32_t* mv,
+    int shift1, int shift2, int zo_min, int32_t* out) {
+  int o1 = width < zo_min ? width : zo_min;
+  int o2 = height < zo_min ? height : zo_min;
+  int64_t a1 = (int64_t)1 << (shift1 - 1);
+  int64_t a2 = (int64_t)1 << (shift2 - 1);
+  int64_t temp[64 * 32];
+  for (int i = 0; i < height; i++) {
+    for (int j = 0; j < o1; j++) {
+      int64_t sum = 0;
+      for (int r = 0; r < width; r++)
+        sum += (int64_t)resi[i * width + r] * mh[j * width + r];
+      temp[i * 32 + j] = (sum + a1) >> shift1;
+    }
+  }
+  for (int i = 0; i < height * width; i++) out[i] = 0;
+  for (int i = 0; i < o2; i++) {
+    for (int j = 0; j < o1; j++) {
+      int64_t sum = 0;
+      for (int r = 0; r < height; r++)
+        sum += (int64_t)mv[i * height + r] * temp[r * 32 + j];
+      out[i * width + j] = (int32_t)((sum + a2) >> shift2);
+    }
+  }
+}

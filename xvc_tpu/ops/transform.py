@@ -59,11 +59,20 @@ def _clip16(x):
     return np.clip(x, k.INT16_MIN, k.INT16_MAX)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _matrix_i32(tx_type, size, high_prec):
+    """Contiguous int32 copy of a basis matrix for the native GEMM."""
+    m, adjust = get_matrix(k.TransformType(tx_type), size, high_prec)
+    return np.ascontiguousarray(m, dtype=np.int32), adjust
+
+
 def inverse_transform_np(coeff, tx_ver, tx_hor, bitdepth, high_precision,
                          dc_only=False):
     """Exact inverse 2-D transform of an (h, w) int coefficient block."""
     height, width = coeff.shape
-    c = coeff.astype(np.int64)
     high_prec1 = high_precision or height >= 64 or height == 2
     high_prec2 = high_precision or width >= 64 or width == 2
     shift1 = 7 + (_HIGH_PREC_SHIFT if high_prec1 else 0)
@@ -73,9 +82,24 @@ def inverse_transform_np(coeff, tx_ver, tx_hor, bitdepth, high_precision,
             and tx_hor in (k.TransformType.DEFAULT, k.TransformType.DCT2):
         shift = 14 - bitdepth
         add = 1 << (shift - 1)
-        val = (((int(c[0, 0]) + 1) >> 1) + add) >> shift
+        val = (((int(coeff[0, 0]) + 1) >> 1) + add) >> shift
         return np.full((height, width), val, dtype=np.int32)
 
+    from .. import native as _native
+    if _native.available():
+        m1n, adj1 = _matrix_i32(int(tx_ver), height, high_prec1)
+        m2n, adj2 = _matrix_i32(int(tx_hor), width, high_prec2)
+        cc = coeff if (coeff.dtype == np.int32 and
+                       coeff.flags.c_contiguous) else \
+            np.ascontiguousarray(coeff, np.int32)
+        out = np.empty((height, width), dtype=np.int32)
+        _native.LIB.xvcn_inv_transform(
+            cc.ctypes.data, height, width, m1n.ctypes.data,
+            m2n.ctypes.data, shift1 + adj1, shift2 + adj2,
+            k.TRANSFORM_ZERO_OUT_MIN_SIZE, out.ctypes.data)
+        return out
+
+    c = coeff.astype(np.int64)
     m1, adj1 = get_matrix(tx_ver, height, high_prec1)
     m2, adj2 = get_matrix(tx_hor, width, high_prec2)
     shift1 += adj1
@@ -121,7 +145,6 @@ def inverse_transform_dst4_np(coeff, bitdepth, high_precision):
 def forward_transform_np(resi, tx_ver, tx_hor, bitdepth, high_precision):
     """Exact forward 2-D transform of an (h, w) int residual block."""
     height, width = resi.shape
-    r = resi.astype(np.int64)
     high_prec1 = high_precision or width >= 64 or width == 2
     high_prec2 = high_precision or height >= 64 or height == 2
     wl2 = width.bit_length() - 1
@@ -129,6 +152,21 @@ def forward_transform_np(resi, tx_ver, tx_hor, bitdepth, high_precision):
     shift1 = wl2 + bitdepth - 9 + (_HIGH_PREC_SHIFT if high_prec1 else 0)
     shift2 = hl2 + 6 + (_HIGH_PREC_SHIFT if high_prec2 else 0)
 
+    from .. import native as _native
+    if _native.available():
+        mhn, adj1 = _matrix_i32(int(tx_hor), width, high_prec1)
+        mvn, adj2 = _matrix_i32(int(tx_ver), height, high_prec2)
+        rr = resi if (resi.dtype == np.int32 and
+                      resi.flags.c_contiguous) else \
+            np.ascontiguousarray(resi, np.int32)
+        out = np.empty((height, width), dtype=np.int32)
+        _native.LIB.xvcn_fwd_transform(
+            rr.ctypes.data, height, width, mhn.ctypes.data,
+            mvn.ctypes.data, shift1 + adj1, shift2 + adj2,
+            k.TRANSFORM_ZERO_OUT_MIN_SIZE, out.ctypes.data)
+        return out
+
+    r = resi.astype(np.int64)
     mh, adj1 = get_matrix(tx_hor, width, high_prec1)
     mv, adj2 = get_matrix(tx_ver, height, high_prec2)
     shift1 += adj1
