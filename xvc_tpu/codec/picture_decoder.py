@@ -160,6 +160,7 @@ class PictureDecoder:
         self.ref_count = 0
         self.alt_rec_pic = None
         self.rec_pic._dev_planes = None  # invalidate device ref cache
+        self.rec_pic._dev_pre_deblock = None
         pd = self.pic_data
         pd.nal_type = header.nal_unit_type
         pd.soc = header.soc

@@ -367,7 +367,11 @@ def deblock_picture_jax(filt):
     work = []  # (direction, kind, payload-handles...)
     batch = dsp.DevBatch()
     plane_handles = {}
+    luma_dev = getattr(rec, "_dev_pre_deblock", None)
+    rec._dev_pre_deblock = None
     for comp in range(pic.max_num_components):
+        if comp == 0 and luma_dev is not None:
+            continue  # device-resident from the intra scan
         plane_handles[comp] = batch.add(
             rec.plane_view(comp).astype(np.int16))
     with span("deblock.meta"):
@@ -406,6 +410,8 @@ def deblock_picture_jax(filt):
 
     # phase 2: run the passes with device-resident data
     planes_dev = {comp: batch.get(h) for comp, h in plane_handles.items()}
+    if luma_dev is not None:
+        planes_dev[0] = luma_dev
     for item in work:
         direction, kind = item[0], item[1]
         if kind == "luma":

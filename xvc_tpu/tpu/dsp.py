@@ -26,11 +26,17 @@ from ..ops import transform as tx
 
 # Persistent XLA compilation cache: decode kernels are shape-specialized
 # and identical across processes, so cold-start cost drops to cache
-# lookups.  Opt out with XVC_JAX_CACHE_DIR=""
+# lookups.  Keyed per platform (a cache written under the TPU relay
+# records different host CPU features than a plain-CPU process and
+# would trigger AOT mismatch warnings).  Opt out with
+# XVC_JAX_CACHE_DIR="".
 _cache_dir = os.environ.get("XVC_JAX_CACHE_DIR", "/tmp/xvc_jax_cache")
 if _cache_dir:
+    _plat = os.environ.get("JAX_PLATFORMS", "auto").replace(",", "_") \
+        or "auto"
     try:
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_compilation_cache_dir",
+                          "%s_%s" % (_cache_dir, _plat))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass

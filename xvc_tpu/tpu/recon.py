@@ -77,9 +77,19 @@ class JaxReconstructor:
             self._gather_mc(mc_launched)
         with span("recon.write_inter"):
             self._write_inter(resi)
-        with span("recon.sequential"):
-            self._clear_all_marks()
-            self._for_each_leaf(lambda cu: self._sequential_leaf(cu, resi))
+        if self._can_scan_intra():
+            with span("recon.intra_scan"):
+                self._device_intra_luma(resi)
+            with span("recon.sequential"):
+                self._clear_all_marks()
+                self._for_each_leaf(
+                    lambda cu: self._sequential_leaf(cu, resi,
+                                                     skip_luma=True))
+        else:
+            with span("recon.sequential"):
+                self._clear_all_marks()
+                self._for_each_leaf(
+                    lambda cu: self._sequential_leaf(cu, resi))
 
     # ------------------------------------------------------------------
     def _trees(self):
@@ -388,15 +398,72 @@ class JaxReconstructor:
             self.rec.plane_view(comp)[cy:cy + h, cx:cx + w] = reco
 
     # ------------------------------------------------------------------
-    # stage D: sequential intra / LIC tail (host)
+    # stage D: sequential intra / LIC tail
     # ------------------------------------------------------------------
-    def _sequential_leaf(self, cu, resi):
+    def _can_scan_intra(self):
+        """The device intra scan covers the default (unrestricted)
+        67-mode luma toolset; LIC pictures fall back (LIC blocks
+        interleave with intra in decode order on the host)."""
+        if self.pic.lic_active:
+            return False
+        r = self.restr
+        if r.disable_ext2_intra_67_modes:
+            return False
+        from ..codec.intra_search import _intra_restrictions_default
+        return _intra_restrictions_default(r)
+
+    def _device_intra_luma(self, resi):
+        """Reconstruct every intra luma block of the picture in ONE
+        device dispatch (lax.scan over leaves in decode order); see
+        xvc_tpu/tpu/intra_scan.py."""
+        from . import intra_scan
+        meta_rows = []
+
+        def collect(cu):
+            if not cu.is_intra() or cu.cu_tree != k.CuTree.PRIMARY:
+                return
+            cx, cy = cu.pos(0)
+            w, h = cu.size(0)
+            has_l = cx > 0
+            has_a = cy > 0
+            sbl = cu.get_cu_size_below_left(0) if has_l else 0
+            sar = cu.get_cu_size_above_right(0) if has_a else 0
+            meta_rows.append((cx, cy, w, h, cu.get_intra_mode(0),
+                              int(has_l), int(has_a),
+                              int(has_l and has_a), sbl, sar, 1))
+
+        self._clear_all_marks()
+        self._for_each_leaf(collect)
+        if not meta_rows:
+            return
+        import jax.numpy as jnp
+        n = len(meta_rows)
+        np2 = dsp.pad_pow2(n)
+        meta = np.zeros((np2, intra_scan.META_COLS), np.int32)
+        meta[:n] = meta_rows
+        plane = intra_scan.plane_pad(self.rec.plane_view(0))
+        rpad = intra_scan.plane_pad(resi[0], dtype=np.int32)
+        fn = intra_scan.make_intra_scan(plane.shape[0], plane.shape[1],
+                                        self.bitdepth)
+        out_dev = fn(jnp.asarray(plane), jnp.asarray(rpad),
+                     jnp.asarray(meta))
+        pt = intra_scan.PAD_TL
+        vis = self.rec.plane_view(0)
+        vis_dev = out_dev[pt:pt + vis.shape[0], pt:pt + vis.shape[1]]
+        vis[:] = np.asarray(vis_dev)
+        # the final pre-deblock luma is already on device: let the
+        # deblock stage consume it instead of re-uploading
+        self.rec._dev_pre_deblock = vis_dev
+
+    def _sequential_leaf(self, cu, resi, skip_luma=False):
         if not (cu.is_intra() or (cu.is_inter() and cu.use_lic)):
             return
         dec = self.dec
         dec.intra.invalidate_lm_cache()
         max_pel = (1 << self.bitdepth) - 1
         for comp in self.pic.get_components(cu.cu_tree):
+            if skip_luma and comp == 0:
+                continue  # luma handled by the device intra scan
             cx, cy = cu.pos(comp)
             w, h = cu.size(comp)
             if cu.is_intra():
