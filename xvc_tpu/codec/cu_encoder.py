@@ -65,6 +65,12 @@ class CuEncoder(TransformEncoder):
     def predict_intra_mode(self, cu, comp, mode, rec_pic):
         return self.intra_recon.predict_intra_mode(cu, comp, mode, rec_pic)
 
+    def begin_ref_scope(self, cu):
+        self.intra_recon.begin_ref_scope(cu)
+
+    def end_ref_scope(self):
+        self.intra_recon.end_ref_scope()
+
     def encode_ctu(self, rsaddr, bitstream_writer):
         """(ref: cu_encoder.cc:84-121)"""
         frac_bits = bitstream_writer.get_fractional_bits()

@@ -17,24 +17,51 @@ class IntraReconstructor:
         self.restr = restrictions
         self._lm_cache_key = None
         self._lm_cache = None
+        self._ref_scope = None   # {comp: (top, left, ftop, fleft)}
+        self._ref_scope_cu = None
 
-    def predict_intra_mode(self, cu, comp, mode, rec_pic):
-        restr = self.restr
-        if mode == k.INTRA_MODE_LM_CHROMA:
-            return self._pred_lm_chroma(cu, comp, rec_pic)
+    def begin_ref_scope(self, cu):
+        """Cache reference samples per component while the encoder's
+        mode loops evaluate one CU (the reference computes the ref
+        state once per CU: FillReferenceState, then Predict per mode —
+        ref: intra_prediction.h:46-53).  Only valid while no OTHER CU's
+        reconstruction changes; the caller scopes it around one CU's
+        mode search."""
+        self._ref_scope = {}
+        self._ref_scope_cu = cu
+
+    def end_ref_scope(self):
+        self._ref_scope = None
+        self._ref_scope_cu = None
+
+    def _refs(self, cu, comp, rec_pic):
+        scope = self._ref_scope if self._ref_scope_cu is cu else None
+        if scope is not None and comp in scope:
+            return scope[comp]
         cx, cy = cu.pos(comp)
         width, height = cu.size(comp)
         plane = rec_pic.plane_view(comp)
         has_left = cx > 0
         has_above = cy > 0
-        has_above_left = cx > 0 and cy > 0
         size_below_left = cu.get_cu_size_below_left(comp) if has_left else 0
         size_above_right = cu.get_cu_size_above_right(comp) if has_above \
             else 0
         top, left = ip.compute_ref_samples(
             width, height, plane, cx, cy, has_left, has_above,
-            has_above_left, size_below_left, size_above_right,
-            self.bitdepth, restr)
+            has_left and has_above, size_below_left, size_above_right,
+            self.bitdepth, self.restr)
+        entry = [top, left, None, None]
+        if scope is not None:
+            scope[comp] = entry
+        return entry
+
+    def predict_intra_mode(self, cu, comp, mode, rec_pic):
+        restr = self.restr
+        if mode == k.INTRA_MODE_LM_CHROMA:
+            return self._pred_lm_chroma(cu, comp, rec_pic)
+        width, height = cu.size(comp)
+        entry = self._refs(cu, comp, rec_pic)
+        top, left = entry[0], entry[1]
         if restr.disable_intra_planar and mode == 0:
             mode = 1
         use_filt = False
@@ -42,7 +69,10 @@ class IntraReconstructor:
             use_filt = ip.use_filtered_ref_samples(cu.width, cu.height,
                                                    mode, restr)
         if use_filt:
-            ftop, fleft = ip.filter_ref_samples(width, height, top, left)
+            if entry[2] is None:
+                entry[2], entry[3] = ip.filter_ref_samples(width, height,
+                                                           top, left)
+            ftop, fleft = entry[2], entry[3]
         else:
             ftop, fleft = top, left
         post_filter = comp == 0 and width <= 16 and height <= 16

@@ -70,6 +70,15 @@ class IntraSearch:
     def compress_intra_luma(self, cu, qp, bitstream_writer, encoder, rec_pic,
                             helpers):
         """(ref: intra_search.cc:43-90)"""
+        helpers.begin_ref_scope(cu)
+        try:
+            return self._compress_intra_luma(cu, qp, bitstream_writer,
+                                             encoder, rec_pic, helpers)
+        finally:
+            helpers.end_ref_scope()
+
+    def _compress_intra_luma(self, cu, qp, bitstream_writer, encoder,
+                             rec_pic, helpers):
         comp = 0
         modes_cost = self._determine_slow_intra_modes(
             cu, qp, bitstream_writer, encoder, rec_pic, helpers)
@@ -105,6 +114,15 @@ class IntraSearch:
     def compress_intra_chroma(self, cu, qp, bitstream_writer, encoder,
                               rec_pic, helpers):
         """(ref: intra_search.cc:92-158)"""
+        helpers.begin_ref_scope(cu)
+        try:
+            return self._compress_intra_chroma(cu, qp, bitstream_writer,
+                                               encoder, rec_pic, helpers)
+        finally:
+            helpers.end_ref_scope()
+
+    def _compress_intra_chroma(self, cu, qp, bitstream_writer, encoder,
+                               rec_pic, helpers):
         restr = self.pic.restrictions
         luma_cu = cu if cu.cu_tree == k.CuTree.PRIMARY else \
             self.pic.get_cu_at(k.CuTree.PRIMARY, cu.pos_x, cu.pos_y)

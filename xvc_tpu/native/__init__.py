@@ -94,14 +94,30 @@ def family_offsets() -> np.ndarray:
 
 
 def _build() -> str:
+    """Compile the native runtime.  XVC_NATIVE_SANITIZE=1 builds with
+    UBSan in trap-on-error mode (no runtime library needed, so it works
+    under ctypes): any undefined behavior aborts the process instead of
+    silently corrupting — the analog of the reference's SANITIZE_BUILD
+    cmake option (ref: CMakeLists.txt:22), exercised by
+    tests/test_sanitize_native.py."""
+    sanitize = os.environ.get("XVC_NATIVE_SANITIZE", "0") == "1"
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    so_path = os.path.join(_DIR, f"_xvcn_{digest}.so")
+    tag = "_ubsan" if sanitize else ""
+    so_path = os.path.join(_DIR, f"_xvcn_{digest}{tag}.so")
     if os.path.exists(so_path):
         return so_path
     tmp = so_path + f".tmp{os.getpid()}"
     cmd = ["g++", "-std=c++14", "-O2", "-fPIC", "-shared",
-           "-fvisibility=hidden", _SRC, "-o", tmp]
+           "-fvisibility=hidden"]
+    if sanitize:
+        # memory/control-flow UB only: the arithmetic set
+        # (signed-overflow, shift-base) is excluded because the codec
+        # intentionally mirrors the reference's wrapping int semantics
+        cmd += ["-fsanitize=bounds,null,object-size,return,vla-bound,"
+                "alignment,nonnull-attribute",
+                "-fsanitize-undefined-trap-on-error"]
+    cmd += [_SRC, "-o", tmp]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, so_path)
     return so_path

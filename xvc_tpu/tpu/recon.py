@@ -77,19 +77,15 @@ class JaxReconstructor:
             self._gather_mc(mc_launched)
         with span("recon.write_inter"):
             self._write_inter(resi)
+        scanned = False
         if self._can_scan_intra():
             with span("recon.intra_scan"):
-                self._device_intra_luma(resi)
-            with span("recon.sequential"):
-                self._clear_all_marks()
-                self._for_each_leaf(
-                    lambda cu: self._sequential_leaf(cu, resi,
-                                                     skip_luma=True))
-        else:
-            with span("recon.sequential"):
-                self._clear_all_marks()
-                self._for_each_leaf(
-                    lambda cu: self._sequential_leaf(cu, resi))
+                scanned = self._device_intra_luma(resi)
+        with span("recon.sequential"):
+            self._clear_all_marks()
+            self._for_each_leaf(
+                lambda cu: self._sequential_leaf(cu, resi,
+                                                 skip_luma=scanned))
 
     # ------------------------------------------------------------------
     def _trees(self):
@@ -435,7 +431,13 @@ class JaxReconstructor:
         self._clear_all_marks()
         self._for_each_leaf(collect)
         if not meta_rows:
-            return
+            return True  # no intra luma at all; nothing to skip
+        # the scan pays a fixed plane upload/download per picture: only
+        # worth it when intra covers a meaningful share (inter pictures
+        # with a few intra blocks stay on the host tail)
+        intra_area = sum(r[2] * r[3] for r in meta_rows)
+        if intra_area * 4 < self.pic.width * self.pic.height:
+            return False
         import jax.numpy as jnp
         n = len(meta_rows)
         np2 = dsp.pad_pow2(n)
@@ -454,6 +456,7 @@ class JaxReconstructor:
         # the final pre-deblock luma is already on device: let the
         # deblock stage consume it instead of re-uploading
         self.rec._dev_pre_deblock = vis_dev
+        return True
 
     def _sequential_leaf(self, cu, resi, skip_luma=False):
         if not (cu.is_intra() or (cu.is_inter() and cu.use_lic)):
