@@ -293,7 +293,8 @@ def make_luma_pass(height, width, subblock_size, bitdepth, flags,
         plane, _ = lax.scan(body, plane, (xs, mask, tc, beta))
         return plane
 
-    return jax.jit(fn)
+    from .dsp import jit_cached
+    return jit_cached(fn)
 
 
 @functools.lru_cache(maxsize=None)
@@ -326,7 +327,8 @@ def make_chroma_pass(height, n_edges, bitdepth):
         plane = plane.at[rows, edges[None, :]].set(nq0.astype(plane.dtype))
         return plane
 
-    return jax.jit(fn)
+    from .dsp import jit_cached
+    return jit_cached(fn)
 
 
 # ---------------------------------------------------------------------------

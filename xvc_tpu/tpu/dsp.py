@@ -26,17 +26,32 @@ from ..ops import transform as tx
 
 # Persistent XLA compilation cache: decode kernels are shape-specialized
 # and identical across processes, so cold-start cost drops to cache
-# lookups.  Keyed per platform (a cache written under the TPU relay
-# records different host CPU features than a plain-CPU process and
+# lookups.  Keyed by the RESOLVED backend (a cache written under the TPU
+# relay records different host CPU features than a plain-CPU process and
 # would trigger AOT mismatch warnings).  Opt out with
 # XVC_JAX_CACHE_DIR="".
-_cache_dir = os.environ.get("XVC_JAX_CACHE_DIR", "/tmp/xvc_jax_cache")
-if _cache_dir:
-    _plat = os.environ.get("JAX_PLATFORMS", "auto").replace(",", "_") \
-        or "auto"
+_cache_configured = False
+
+
+def jit_cached(fn):
+    """jax.jit with the persistent compile cache configured first."""
+    _ensure_compile_cache()
+    import jax as _jax
+    return _jax.jit(fn)
+
+
+def _ensure_compile_cache():
+    global _cache_configured
+    if _cache_configured:
+        return
+    _cache_configured = True
+    cache_dir = os.environ.get("XVC_JAX_CACHE_DIR", "/tmp/xvc_jax_cache")
+    if not cache_dir:
+        return
     try:
+        backend = jax.default_backend()
         jax.config.update("jax_compilation_cache_dir",
-                          "%s_%s" % (_cache_dir, _plat))
+                          "%s_%s" % (cache_dir, backend))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass
@@ -152,7 +167,7 @@ def make_dequant_itx(width, height, bitdepth, txv, txh, variant,
         return _itx_core(coeff, scale, width, height, bitdepth, txv, txh,
                          variant, high_precision)
 
-    return jax.jit(fn)
+    return jit_cached(fn)
 
 
 @functools.lru_cache(maxsize=None)
@@ -167,7 +182,7 @@ def make_dequant_itx_direct(width, height, bitdepth, txv, txh, variant,
         return _itx_core(coeff, scale, width, height, bitdepth, txv, txh,
                          variant, high_precision)
 
-    return jax.jit(fn)
+    return jit_cached(fn)
 
 
 # ---------------------------------------------------------------------------
@@ -277,7 +292,7 @@ def make_mc_kernel(width, height, luma, bitdepth, high_prec, short_out,
         return core(planes, params[0], params[1], params[2], params[3],
                     params[4])
 
-    return jax.jit(fn)
+    return jit_cached(fn)
 
 
 @functools.lru_cache(maxsize=None)
@@ -293,7 +308,7 @@ def make_mc_kernel_direct(width, height, luma, bitdepth, high_prec,
         return core(planes, params[0], params[1], params[2], params[3],
                     params[4])
 
-    return jax.jit(fn)
+    return jit_cached(fn)
 
 
 @functools.lru_cache(maxsize=None)
@@ -307,7 +322,7 @@ def make_add_avg(width, height, bitdepth):
     def fn(l0, l1):
         return jnp.clip((l0 + l1 + offset) >> shift, 0, max_val)
 
-    return jax.jit(fn)
+    return jit_cached(fn)
 
 
 def pad_pow2(n):
@@ -332,7 +347,7 @@ def _slicer(size, shape, dtype_name):
     def fn(flat, off):
         return lax.dynamic_slice(flat, (off,), (size,)).reshape(shape)
 
-    return jax.jit(fn)
+    return jit_cached(fn)
 
 
 class DevBatch:

@@ -281,4 +281,5 @@ def make_intra_scan(plane_h, plane_w, bitdepth):
         (plane, _), _ = lax.scan(step, (plane, resi), meta)
         return plane
 
-    return jax.jit(fn)
+    from .dsp import jit_cached
+    return jit_cached(fn)
