@@ -112,7 +112,7 @@ class IntraReconstructor:
         return np.clip(pred, 0, max_val).astype(np.int32)
 
     def _rescale_luma(self, cu, comp, rec_pic):
-        """(ref: intra_prediction.cc:873-954)"""
+        """(ref: intra_prediction.cc:873-954), vectorized."""
         luma_plane = rec_pic.plane_view(0)
         lx, ly = cu.pos_x, cu.pos_y
         width, height = cu.size(comp)
@@ -122,30 +122,24 @@ class IntraReconstructor:
         cf = self.pic.chroma_format
         start_y = -1 if has_above else 0
         start_x = 0 if has_left else 1
-
-        def src(yy, xx):
-            return int(luma_plane[ly + yy, lx + xx])
+        L = luma_plane.astype(np.int32, copy=False)
+        ys = np.arange(start_y, height)
+        xs = np.arange(start_x, width)
 
         if cf == k.ChromaFormat.YUV420:
+            yy = ly + 2 * ys
             if has_left:
-                for y in range(start_y, height):
-                    yy = 2 * y
-                    s = (src(yy, -3) + 2 * src(yy, -2) + src(yy, -1) +
-                         src(yy + 1, -3) + 2 * src(yy + 1, -2) +
-                         src(yy + 1, -1))
-                    out[y + 1, 0] = (s + 4) >> 3
+                s = (L[yy, lx - 3] + 2 * L[yy, lx - 2] + L[yy, lx - 1] +
+                     L[yy + 1, lx - 3] + 2 * L[yy + 1, lx - 2] +
+                     L[yy + 1, lx - 1])
+                out[ys + 1, 0] = (s + 4) >> 3
             else:
-                for y in range(start_y, height):
-                    yy = 2 * y
-                    s = src(yy, 0) + src(yy + 1, 0)
-                    out[y + 1, 1] = (s + 1) >> 1
-            for y in range(start_y, height):
-                yy = 2 * y
-                for x in range(start_x, width):
-                    s = (src(yy, 2 * x - 1) + 2 * src(yy, 2 * x) +
-                         src(yy, 2 * x + 1) + src(yy + 1, 2 * x - 1) +
-                         2 * src(yy + 1, 2 * x) + src(yy + 1, 2 * x + 1))
-                    out[y + 1, x + 1] = (s + 4) >> 3
+                out[ys + 1, 1] = (L[yy, lx] + L[yy + 1, lx] + 1) >> 1
+            xxl = lx + 2 * xs
+            s = (L[np.ix_(yy, xxl - 1)] + 2 * L[np.ix_(yy, xxl)] +
+                 L[np.ix_(yy, xxl + 1)] + L[np.ix_(yy + 1, xxl - 1)] +
+                 2 * L[np.ix_(yy + 1, xxl)] + L[np.ix_(yy + 1, xxl + 1)])
+            out[np.ix_(ys + 1, xs + 1)] = (s + 4) >> 3
         elif cf == k.ChromaFormat.YUV444:
             if has_above:
                 out[0, 1:1 + width] = luma_plane[ly - 1, lx:lx + width]
@@ -154,17 +148,14 @@ class IntraReconstructor:
             out[1:1 + height, 1:1 + width] = \
                 luma_plane[ly:ly + height, lx:lx + width]
         else:  # 4:2:2
+            yy = ly + ys
             if has_left:
-                for y in range(start_y, height):
-                    s = src(y, -3) + 2 * src(y, -2) + src(y, -1)
-                    out[y + 1, 0] = (s + 2) >> 2
+                s = L[yy, lx - 3] + 2 * L[yy, lx - 2] + L[yy, lx - 1]
+                out[ys + 1, 0] = (s + 2) >> 2
             else:
-                for y in range(start_y, height):
-                    s = src(y, 0) + src(y, 1)
-                    out[y + 1, 1] = (s + 1) >> 1
-            for y in range(start_y, height):
-                for x in range(start_x, width):
-                    s = (src(y, 2 * x - 1) + 2 * src(y, 2 * x) +
-                         src(y, 2 * x + 1))
-                    out[y + 1, x + 1] = (s + 2) >> 2
+                out[ys + 1, 1] = (L[yy, lx] + L[yy, lx + 1] + 1) >> 1
+            xxl = lx + 2 * xs
+            s = (L[np.ix_(yy, xxl - 1)] + 2 * L[np.ix_(yy, xxl)] +
+                 L[np.ix_(yy, xxl + 1)])
+            out[np.ix_(ys + 1, xs + 1)] = (s + 2) >> 2
         return out
