@@ -32,10 +32,6 @@ from ..ops import deblock as dbk
 # Host-side metadata (vectorized boundary-strength derivation)
 # ---------------------------------------------------------------------------
 
-def _mv_col(lst, corner, comp):
-    return 11 + lst * 8 + corner * 2 + comp
-
-
 def _gather_mv(attrs, idx, lst, corner):
     """corner is an (ny, nx) array; returns (mvx, mvy) arrays."""
     base = attrs[idx]  # (ny, nx, 27)
@@ -71,9 +67,7 @@ def compute_edge_metadata(pic, cu_map, attrs, direction, subblock_size,
     a_q = attrs[iq]
     skip = ip == iq
 
-    ny, nx = iq.shape
     ycoord = ys[:, None].astype(np.int64)
-    xcoord = xs[None, :].astype(np.int64)
     if direction == 0:
         # vertical edge: corner from y offset within CU
         corner_p = np.where((ycoord - a_p[..., 1]) < (a_p[..., 3] >> 1), 1, 3)
