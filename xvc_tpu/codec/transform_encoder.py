@@ -11,6 +11,9 @@ from ..ops import quant as q
 from ..ops import transform as tx
 from .rdo_quant import RdoQuant
 
+# 4x4 DST-7 basis for the fused native reconstruct path
+_DST4_I32 = np.ascontiguousarray(tx._DST4, dtype=np.int32)
+
 _DIST_MAX = (1 << 62)
 _COST_MAX = (1 << 62)
 
@@ -261,6 +264,11 @@ class TransformEncoder:
 
         rec_plane = rec_pic.plane_view(comp)
         if cbf:
+            from .. import native as _native
+            if _native.available():
+                return self._recon_dist_native(cu, comp, qp, cu_coeff,
+                                               skip_transform, pred,
+                                               orig_blk, rec_plane, cx, cy)
             dq = q.dequant_np(cu_coeff, comp, qp, width, height,
                               self.bitdepth)
             if not skip_transform:
@@ -274,6 +282,78 @@ class TransformEncoder:
             rec_plane[cy:cy + height, cx:cx + width] = pred
             reco = pred
         return self.cu_metric.compare(qp, comp, orig_blk, reco)
+
+    def _recon_dist_native(self, cu, comp, qp, cu_coeff, skip_transform,
+                           pred, orig_blk, rec_plane, cx, cy):
+        """Fused dequant + inverse transform + reconstruct + metric in
+        one native call (xvcn_recon_dist); bit-identical to the split
+        path, pinned by the byte-exact encode goldens."""
+        from .. import native as _native
+        from ..ops import metrics as met
+        restr = cu.pic.restrictions
+        width, height = cu.size(comp)
+        bd = self.bitdepth
+        wl2, hl2 = width.bit_length() - 1, height.bit_length() - 1
+        bias = ((wl2 + hl2) % 2) != 0
+        tshift = q.get_transform_shift(width, height, bd)
+        dq_scale = qp.get_inv_scale(comp) * (181 if bias else 1)
+        dq_shift = q.IQUANT_SHIFT - tshift + (8 if bias else 0)
+        skip_shift = skip_scale = dc_shift = 0
+        m1p = m2p = None
+        shift1 = shift2 = zo = 0
+        dflt = (k.TransformType.DEFAULT, k.TransformType.DCT2)
+        t0 = cu.get_transform_type(comp, 0)
+        t1 = cu.get_transform_type(comp, 1)
+        hp = not restr.disable_ext2_transform_high_precision
+        if skip_transform:
+            kind = 2
+            skip_shift = tshift + (7 if bias else 0)
+            skip_scale = 181 if bias else 1
+        else:
+            can_dst4 = (comp == 0 and cu.is_intra() and
+                        t0 == k.TransformType.DEFAULT and
+                        t1 == k.TransformType.DEFAULT and
+                        width == 4 and height == 4 and
+                        not restr.disable_ext2_transform_dst)
+            if can_dst4:
+                kind = 0
+                m1p = m2p = _DST4_I32
+                shift1, shift2 = 7, 20 - bd
+                zo = k.TRANSFORM_ZERO_OUT_MIN_SIZE
+            elif cu.dc_only[comp] and t0 in dflt and t1 in dflt:
+                kind = 1
+                dc_shift = 14 - bd
+            else:
+                kind = 0
+                hp1 = hp or height >= 64 or height == 2
+                hp2 = hp or width >= 64 or width == 2
+                m1p, adj1 = tx._matrix_i32(int(t0), height, hp1)
+                m2p, adj2 = tx._matrix_i32(int(t1), width, hp2)
+                shift1 = 7 + (2 if hp1 else 0) + adj1
+                shift2 = 20 - bd + (2 if hp2 else 0) + adj2
+                zo = k.TRANSFORM_ZERO_OUT_MIN_SIZE
+        mkind = self.cu_metric.type
+        if mkind == met.MetricType.STRUCTURAL_SSD and comp != 0:
+            mkind = met.MetricType.SSD
+        resi = np.empty((height, width), dtype=np.int32)
+        rec_region = rec_plane[cy:cy + height, cx:cx + width]
+        predc = pred if (pred.dtype == np.int32 and
+                         pred.flags.c_contiguous) else \
+            np.ascontiguousarray(pred, np.int32)
+        stride = rec_plane.strides[0] // 4
+        dist = _native.LIB.xvcn_recon_dist(
+            cu_coeff.ctypes.data, height, width,
+            dq_scale, dq_shift, kind,
+            0 if m1p is None else m1p.ctypes.data,
+            0 if m2p is None else m2p.ctypes.data,
+            shift1, shift2, zo, skip_shift, skip_scale, dc_shift,
+            predc.ctypes.data, predc.strides[0] // 4,
+            orig_blk.ctypes.data, orig_blk.strides[0] // 4,
+            rec_region.ctypes.data, stride,
+            resi.ctypes.data, bd, int(mkind), qp.get_qp_raw(0),
+            float(self.cu_metric.structural_strength))
+        self.temp_resi = resi
+        return int(dist * qp.distortion_weight[comp])
 
     def _forward_transform(self, cu, comp, resi):
         restr = cu.pic.restrictions

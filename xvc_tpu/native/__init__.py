@@ -205,6 +205,18 @@ def _bind(lib):
     lib.xvcn_fwd_transform.argtypes = [
         c.c_void_p, c.c_int, c.c_int, c.c_void_p, c.c_void_p,
         c.c_int, c.c_int, c.c_int, c.c_void_p]
+    lib.xvcn_recon_dist.restype = c.c_int64
+    lib.xvcn_recon_dist.argtypes = [
+        c.c_void_p, c.c_int, c.c_int,               # levels, h, w
+        c.c_int, c.c_int, c.c_int,                  # dq scale/shift, kind
+        c.c_void_p, c.c_void_p,                     # m1, m2
+        c.c_int, c.c_int, c.c_int,                  # shift1/2, zo
+        c.c_int, c.c_int, c.c_int,                  # skip sh/sc, dc sh
+        c.c_void_p, c.c_int64,                      # pred, stride
+        c.c_void_p, c.c_int64,                      # orig, stride
+        c.c_void_p, c.c_int64,                      # rec, stride
+        c.c_void_p, c.c_int, c.c_int, c.c_int,      # resi, bd, metric, qp
+        c.c_double]
     lib.xvcn_version.restype = c.c_int
     return lib
 

@@ -2797,3 +2797,69 @@ XVCN_API void xvcn_fwd_transform(
     }
   }
 }
+
+// ---------------------------------------------------------------------------
+// Fused dequant + inverse transform + reconstruct + distortion: the
+// encoder's per-candidate evaluation tail in one call (behavioral twin
+// of Quantize::Inverse + InverseTransform::Transform + AddClip + metric,
+// ref: src/xvc_enc_lib/transform_encoder.cc:203-285).  tx_kind:
+// 0 = generic separable GEMM (matrices supplied), 1 = DC-only fast
+// path, 2 = transform skip.  Writes the reconstruction into rec and the
+// residual into resi_out (used by the inter resi-domain metric), and
+// returns the unweighted distortion from xvcn_metric.
+// ---------------------------------------------------------------------------
+XVCN_API int64_t xvcn_recon_dist(
+    const int32_t* levels, int height, int width,
+    int dq_scale, int dq_shift, int tx_kind,
+    const int32_t* m1, const int32_t* m2,
+    int shift1, int shift2, int zo_min,
+    int skip_shift, int skip_scale, int dc_shift,
+    const int32_t* pred, int64_t pred_stride,
+    const int32_t* orig, int64_t orig_stride,
+    int32_t* rec, int64_t rec_stride,
+    int32_t* resi_out, int bitdepth, int metric_kind, int metric_qp,
+    double struct_str) {
+  int n = height * width;
+  int32_t dq[64 * 64];
+  if (dq_shift > 0) {
+    int64_t off = (int64_t)1 << (dq_shift - 1);
+    for (int i = 0; i < n; i++)
+      dq[i] = xvcn_clip16i(((int64_t)levels[i] * dq_scale + off)
+                           >> dq_shift);
+  } else {
+    for (int i = 0; i < n; i++)
+      dq[i] = xvcn_clip16i(((int64_t)levels[i] * dq_scale)
+                           << (-dq_shift));
+  }
+  if (tx_kind == 0) {
+    xvcn_inv_transform(dq, height, width, m1, m2, shift1, shift2, zo_min,
+                       resi_out);
+  } else if (tx_kind == 1) {
+    int64_t add = (int64_t)1 << (dc_shift - 1);
+    int32_t val = (int32_t)(((((int64_t)dq[0] + 1) >> 1) + add)
+                            >> dc_shift);
+    for (int i = 0; i < n; i++) resi_out[i] = val;
+  } else {
+    if (skip_shift > 0) {
+      int64_t off = (int64_t)1 << (skip_shift - 1);
+      for (int i = 0; i < n; i++)
+        resi_out[i] = (int32_t)(((int64_t)dq[i] * skip_scale + off)
+                                >> skip_shift);
+    } else {
+      for (int i = 0; i < n; i++)
+        resi_out[i] = (int32_t)(((int64_t)dq[i] * skip_scale)
+                                << (-skip_shift));
+    }
+  }
+  int max_val = (1 << bitdepth) - 1;
+  for (int i = 0; i < height; i++) {
+    for (int j = 0; j < width; j++) {
+      int v = pred[i * pred_stride + j] + resi_out[i * width + j];
+      if (v < 0) v = 0;
+      if (v > max_val) v = max_val;
+      rec[i * rec_stride + j] = v;
+    }
+  }
+  return xvcn_metric(metric_kind, orig, orig_stride, rec, rec_stride,
+                     width, height, bitdepth, metric_qp, struct_str);
+}
