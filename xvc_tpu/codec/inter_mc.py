@@ -8,6 +8,7 @@ depthwise convolutions (see xvc_tpu/ops/jax kernels).
 import numpy as np
 
 from .. import constants as k
+from .. import native as _native
 from . import inter_mv as mv_mod
 
 NUM_TAPS_LUMA = 8
@@ -141,7 +142,6 @@ def _filters(comp, restr):
 
 
 def _mc_native(ctx, x0, y0, frac_x, frac_y, mode):
-    from .. import native as _native
     lib = _native.LIB
     plane = ctx.ref_pic.padded_plane(ctx.comp)
     stride = plane.shape[1]
@@ -159,7 +159,6 @@ def _mc_native(ctx, x0, y0, frac_x, frac_y, mode):
 
 def mc_unipred_sample(ctx, x0, y0, frac_x, frac_y):
     """Sub-pel MC producing final samples (uni-pred path)."""
-    from .. import native as _native
     if _native.available():
         return _mc_native(ctx, x0, y0, frac_x, frac_y, 0)
     w, h = ctx.width, ctx.height
@@ -206,7 +205,6 @@ def mc_unipred_sample(ctx, x0, y0, frac_x, frac_y):
 
 def mc_unipred_short(ctx, x0, y0, frac_x, frac_y):
     """Sub-pel MC producing 14-bit intermediates (bi-pred path)."""
-    from .. import native as _native
     if _native.available():
         return _mc_native(ctx, x0, y0, frac_x, frac_y, 1).astype(np.int16)
     w, h = ctx.width, ctx.height

@@ -12,6 +12,7 @@ height+width samples.
 import numpy as np
 
 from .. import constants as k
+from .. import native as _native
 
 ANGLE_TABLE = (-32, -26, -21, -17, -13, -9, -5, -2, 0,
                2, 5, 9, 13, 17, 21, 26, 32)
@@ -146,7 +147,6 @@ def compute_ref_samples(width, height, rec, px, py,
 
 def filter_ref_samples(width, height, top, left):
     """[1 2 1] reference filter (ref: intra_prediction.cc:850-871)."""
-    from .. import native as _native
     if _native.available():
         ftop = np.empty_like(top)
         fleft = np.empty_like(left)
@@ -170,7 +170,6 @@ def filter_ref_samples(width, height, top, left):
 
 def pred_dc(width, height, top, left, dc_filter, restrictions):
     """(ref: intra_prediction.cc:365-399). Uses UNfiltered refs."""
-    from .. import native as _native
     if _native.available():
         out = np.empty((height, width), dtype=np.int32)
         do_filter = dc_filter and \
@@ -194,7 +193,6 @@ def pred_dc(width, height, top, left, dc_filter, restrictions):
 
 def pred_planar(width, height, top, left):
     """(ref: intra_prediction.cc:401-423)"""
-    from .. import native as _native
     if _native.available():
         out = np.empty((height, width), dtype=np.int32)
         _native.LIB.xvcn_intra_pred_planar(
@@ -220,7 +218,6 @@ def pred_planar(width, height, top, left):
 def pred_angular(width, height, mode, top, left, post_filter, bitdepth,
                  restrictions):
     """(ref: intra_prediction.cc:425-558)"""
-    from .. import native as _native
     ext = not restrictions.disable_ext2_intra_67_modes
     if _native.available():
         out = np.empty((height, width), dtype=np.int32)

@@ -11,6 +11,7 @@ from functools import lru_cache
 import numpy as np
 
 from .. import constants as k
+from .. import native as _native
 
 
 class MetricType:
@@ -162,7 +163,6 @@ class SampleMetric:
 
     def compare(self, qp, comp, src1, src2):
         """src1/src2: (h, w) integer arrays of identical shape."""
-        from .. import native as _native
         t = self.type
         if _native.available():
             a, b = src1, src2

@@ -19,6 +19,7 @@ import os
 import numpy as np
 
 from .. import constants as k
+from .. import native as _native
 
 with np.load(os.path.join(os.path.dirname(__file__),
                           "transform_tables.npz")) as _npz:
@@ -85,7 +86,6 @@ def inverse_transform_np(coeff, tx_ver, tx_hor, bitdepth, high_precision,
         val = (((int(coeff[0, 0]) + 1) >> 1) + add) >> shift
         return np.full((height, width), val, dtype=np.int32)
 
-    from .. import native as _native
     if _native.available():
         m1n, adj1 = _matrix_i32(int(tx_ver), height, high_prec1)
         m2n, adj2 = _matrix_i32(int(tx_hor), width, high_prec2)
@@ -152,7 +152,6 @@ def forward_transform_np(resi, tx_ver, tx_hor, bitdepth, high_precision):
     shift1 = wl2 + bitdepth - 9 + (_HIGH_PREC_SHIFT if high_prec1 else 0)
     shift2 = hl2 + 6 + (_HIGH_PREC_SHIFT if high_prec2 else 0)
 
-    from .. import native as _native
     if _native.available():
         mhn, adj1 = _matrix_i32(int(tx_hor), width, high_prec1)
         mvn, adj2 = _matrix_i32(int(tx_ver), height, high_prec2)
