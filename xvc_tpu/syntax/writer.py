@@ -40,7 +40,8 @@ class SyntaxWriter:
         w = cls.__new__(cls)
         w.restr = writer.restr
         w._restr_mask = writer._restr_mask
-        w.ctx = CabacContexts(writer.restr)
+        w.ctx = CabacContexts.__new__(CabacContexts)
+        w.ctx.restr = writer.restr
         w.ctx.state = writer.ctx.state.copy()
         if bits_written is None:
             bits_written = writer.enc.get_num_written_bits()
