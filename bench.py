@@ -104,9 +104,14 @@ def our_decode_timed(bitstream_path, expect_path, dsp):
         % (bitstream_path, dsp, expect_path))
     env = dict(os.environ, XVC_DSP=dsp, PYTHONPATH=PYPATH)
     last_err = None
-    for _ in range(2):  # one retry: the TPU tunnel can drop transiently
-        r = subprocess.run([sys.executable, "-c", code], env=env,
-                           cwd=REPO, capture_output=True, text=True)
+    for _ in range(2):  # one retry: the TPU tunnel can drop or stall
+        try:
+            r = subprocess.run([sys.executable, "-c", code], env=env,
+                               cwd=REPO, capture_output=True, text=True,
+                               timeout=420)
+        except subprocess.TimeoutExpired:
+            last_err = "timeout (stalled device tunnel?)"
+            continue
         if r.returncode == 0:
             line = [ln for ln in r.stdout.splitlines()
                     if ln.startswith("T=")][0]
@@ -198,8 +203,12 @@ def main():
     extra["ref_decode_cif_ai_mpixs"] = round(352 * 288 * 16 / t / 1e6, 3)
     t, n = our_decode_timed(cif_bs, cif_dec, "host")
     extra["host_decode_cif_ai_mpixs"] = round(352 * 288 * n / t / 1e6, 3)
-    t, n = our_decode_timed(cif_bs, cif_dec, "jax")
-    extra["jax_decode_cif_ai_mpixs"] = round(352 * 288 * n / t / 1e6, 3)
+    try:
+        t, n = our_decode_timed(cif_bs, cif_dec, "jax")
+        extra["jax_decode_cif_ai_mpixs"] = round(352 * 288 * n / t / 1e6,
+                                                 3)
+    except RuntimeError as e:
+        extra["jax_decode_cif_ai_error"] = str(e)[:160]
 
     # ---- config 2: 720p low-delay QP32 1 ref (fast speed mode) ----
     _log("config 2: 720p LD")
@@ -215,10 +224,15 @@ def main():
     ref_720 = 1280 * 720 * 8 / t / 1e6
     extra["ref_decode_720p_ld_mpixs"] = round(ref_720, 3)
     t, n = our_decode_timed(hd_bs, hd_dec, "host")
-    extra["host_decode_720p_ld_mpixs"] = round(1280 * 720 * n / t / 1e6, 3)
-    t, n = our_decode_timed(hd_bs, hd_dec, "jax")
-    jax_720 = 1280 * 720 * n / t / 1e6
-    extra["jax_decode_720p_ld_mpixs"] = round(jax_720, 3)
+    host_720 = 1280 * 720 * n / t / 1e6
+    extra["host_decode_720p_ld_mpixs"] = round(host_720, 3)
+    try:
+        t, n = our_decode_timed(hd_bs, hd_dec, "jax")
+        jax_720 = 1280 * 720 * n / t / 1e6
+        extra["jax_decode_720p_ld_mpixs"] = round(jax_720, 3)
+    except RuntimeError as e:
+        extra["jax_decode_720p_ld_error"] = str(e)[:160]
+        jax_720 = None
 
     # ---- encode comparison (small frames: our host encoder is the
     # round-3 optimization target; same config both sides) ----
@@ -245,11 +259,15 @@ def main():
                             "tunnel latency; bit-exactness verified "
                             "vs reference xvcdec on every timed stream")
 
+    if jax_720 is not None:
+        metric, value = "decode_720p_ld_jax_device_path", jax_720
+    else:  # device tunnel unavailable: report the host path honestly
+        metric, value = "decode_720p_ld_host_path", host_720
     print(json.dumps({
-        "metric": "decode_720p_ld_jax_device_path",
-        "value": round(jax_720, 3),
+        "metric": metric,
+        "value": round(value, 3),
         "unit": "Mpix/s",
-        "vs_baseline": round(jax_720 / ref_720, 4),
+        "vs_baseline": round(value / ref_720, 4),
         "extra": extra,
     }))
 
