@@ -65,6 +65,9 @@ class CuEncoder(TransformEncoder):
     def predict_intra_mode(self, cu, comp, mode, rec_pic):
         return self.intra_recon.predict_intra_mode(cu, comp, mode, rec_pic)
 
+    def get_ref_samples(self, cu, comp, rec_pic):
+        return self.intra_recon.get_ref_samples(cu, comp, rec_pic)
+
     def begin_ref_scope(self, cu):
         self.intra_recon.begin_ref_scope(cu)
 

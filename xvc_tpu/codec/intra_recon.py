@@ -55,6 +55,11 @@ class IntraReconstructor:
             scope[comp] = entry
         return entry
 
+    def get_ref_samples(self, cu, comp, rec_pic):
+        """(top, left) reference samples for this CU (scope-cached)."""
+        entry = self._refs(cu, comp, rec_pic)
+        return entry[0], entry[1]
+
     def predict_intra_mode(self, cu, comp, mode, rec_pic):
         restr = self.restr
         if mode == k.INTRA_MODE_LM_CHROMA:

@@ -252,10 +252,26 @@ class IntraSearch:
         # byte-identical (ref: intra_search.cc:188-303).
         satd_all = None
         from ..engine import use_jax_intra_prepass
+        from .. import native as _native
         if (use_jax_intra_prepass() and w == h and 4 <= w <= 32 and
                 not restr.disable_ext2_intra_67_modes and
                 _intra_restrictions_default(restr)):
             satd_all = self._jax_prepass_satd(cu, rec_pic)
+        elif _native.available():
+            # native all-mode SATD pre-pass: one call instead of a
+            # predict+metric round trip per candidate mode
+            top, left = helpers.get_ref_samples(cu, comp, rec_pic)
+            satd_all = np.empty(num_intra_modes, dtype=np.int64)
+            _native.LIB.xvcn_intra_prepass_satd(
+                top.ctypes.data, left.ctypes.data, w, h,
+                0 if restr.disable_ext2_intra_67_modes else 1,
+                1 if restr.disable_intra_ref_sample_filter else 0,
+                1 if restr.disable_intra_dc_post_filter else 0,
+                1 if restr.disable_intra_ver_hor_post_filter else 0,
+                1 if restr.disable_intra_planar else 0,
+                1 if (w <= 16 and h <= 16) else 0,
+                orig_blk.ctypes.data, orig_blk.strides[0] // 4,
+                self.bitdepth, num_intra_modes, satd_all.ctypes.data)
 
         def eval_mode(intra_mode):
             if satd_all is not None:

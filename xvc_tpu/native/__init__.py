@@ -205,6 +205,10 @@ def _bind(lib):
     lib.xvcn_fwd_transform.argtypes = [
         c.c_void_p, c.c_int, c.c_int, c.c_void_p, c.c_void_p,
         c.c_int, c.c_int, c.c_int, c.c_void_p]
+    lib.xvcn_intra_prepass_satd.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int, c.c_int,
+        c.c_int, c.c_int, c.c_int, c.c_int, c.c_int, c.c_int,
+        c.c_void_p, c.c_int64, c.c_int, c.c_int, c.c_void_p]
     lib.xvcn_recon_dist.restype = c.c_int64
     lib.xvcn_recon_dist.argtypes = [
         c.c_void_p, c.c_int, c.c_int,               # levels, h, w

@@ -2863,3 +2863,63 @@ XVCN_API int64_t xvcn_recon_dist(
   return xvcn_metric(metric_kind, orig, orig_stride, rec, rec_stride,
                      width, height, bitdepth, metric_qp, struct_str);
 }
+
+// ---------------------------------------------------------------------------
+// All-mode intra SATD pre-pass in one call: predict every candidate
+// mode against the supplied reference samples and return its SATD
+// (behavioral twin of the per-mode loop in
+// src/xvc_enc_lib/intra_search.cc:188-303 feeding
+// DetermineSlowIntraModes).  Reference samples are computed by the
+// caller (availability/padding already applied); the [1 2 1] filter
+// decision per mode follows intra_prediction.cc:342-363.
+// ---------------------------------------------------------------------------
+XVCN_API void xvcn_intra_prepass_satd(
+    const int32_t* top, const int32_t* left, int width, int height,
+    int ext67, int disable_ref_filter, int disable_dc_post,
+    int disable_vh_post, int disable_planar, int post_filter,
+    const int32_t* orig, int64_t orig_stride, int bitdepth,
+    int num_modes, int64_t* out_satd) {
+  static thread_local int32_t ftop[2 * 128 + 1];
+  static thread_local int32_t fleft[2 * 128];
+  static thread_local int32_t pred[64 * 64];
+  bool have_filtered = false;
+  static const int kThr[8] = {0, 20, 10, 7, 1, 0, 10, 0};
+  static const int kThrExt[8] = {0, 20, 20, 14, 2, 0, 20, 0};
+  int hor_mode = ext67 ? 18 : 10;
+  int ver_mode = ext67 ? 50 : 26;
+  int size = (ilog2(width) + ilog2(height)) >> 1;
+  int thr = ext67 ? kThrExt[size] : kThr[size];
+
+  for (int m = 0; m < num_modes; m++) {
+    int mode = m;
+    if (disable_planar && mode == 0) mode = 1;
+    int d1 = mode - hor_mode;
+    if (d1 < 0) d1 = -d1;
+    int d2 = mode - ver_mode;
+    if (d2 < 0) d2 = -d2;
+    int mode_diff = d1 < d2 ? d1 : d2;
+    bool use_filt = !disable_ref_filter && mode_diff > thr;
+    const int32_t* t = top;
+    const int32_t* l = left;
+    if (use_filt) {
+      if (!have_filtered) {
+        xvcn_intra_filter_ref(top, left, width, height, ftop, fleft);
+        have_filtered = true;
+      }
+      t = ftop;
+      l = fleft;
+    }
+    if (mode == 0) {
+      xvcn_intra_pred_planar(t, l, width, height, pred);
+    } else if (mode == 1) {
+      xvcn_intra_pred_dc(top, left, width, height,
+                         post_filter && !disable_dc_post, pred);
+    } else {
+      xvcn_intra_pred_angular(t, l, width, height, mode, ext67,
+                              post_filter, disable_vh_post, bitdepth,
+                              pred);
+    }
+    out_satd[m] = xvcn_metric(M_SATD, orig, orig_stride, pred, width,
+                              width, height, bitdepth, 0, 0.0);
+  }
+}
