@@ -537,7 +537,10 @@ class PictureData:
         self.tmvp_ref_idx = 0
         self.restrictions = None
 
-    def init(self, segment, pic_qp: Qp, recalculate_lambda):
+    def init(self, segment, pic_qp: Qp, recalculate_lambda, light=False):
+        """light=True skips the per-picture CU/qp object allocation: the
+        native whole-picture decoder keeps CU state in C++ and only needs
+        the derived header-level fields (tmvp, trees, force flags)."""
         r = segment.restrictions
         self.restrictions = r
         if (not r.disable_ext_two_cu_trees and self.is_intra_pic() and
@@ -552,24 +555,26 @@ class PictureData:
             self.cu_tree_components = [[0], []]
         self.max_binary_split_depth = segment.max_binary_split_depth
         self.pic_qp = pic_qp
-        self.qps = []
-        for i in range(k.MAX_ALLOWED_QP + 1):
-            if recalculate_lambda:
-                lambda_tmp = 0.57 * 2.0 ** ((i - 12) / 3.0)
-            else:
-                lambda_tmp = pic_qp.get_lambda() * \
-                    2.0 ** ((i - pic_qp.get_qp_raw(0)) / 3.0)
-            self.qps.append(Qp(i, self.chroma_format, self.bitdepth,
-                               lambda_tmp, segment.chroma_qp_offset_table,
-                               segment.chroma_qp_offset_u,
-                               segment.chroma_qp_offset_v))
-        for tree in range(k.MAX_NUM_CU_TREES):
-            n = self.cu_stride * self.cu_rows
-            self.cu_table[tree] = [None] * n
-            self.ctus[tree] = []
-        self._allocate_all_ctus(k.CuTree.PRIMARY)
-        if self.num_cu_trees > 1:
-            self._allocate_all_ctus(k.CuTree.SECONDARY)
+        if not light:
+            self.qps = []
+            for i in range(k.MAX_ALLOWED_QP + 1):
+                if recalculate_lambda:
+                    lambda_tmp = 0.57 * 2.0 ** ((i - 12) / 3.0)
+                else:
+                    lambda_tmp = pic_qp.get_lambda() * \
+                        2.0 ** ((i - pic_qp.get_qp_raw(0)) / 3.0)
+                self.qps.append(Qp(i, self.chroma_format, self.bitdepth,
+                                   lambda_tmp,
+                                   segment.chroma_qp_offset_table,
+                                   segment.chroma_qp_offset_u,
+                                   segment.chroma_qp_offset_v))
+            for tree in range(k.MAX_NUM_CU_TREES):
+                n = self.cu_stride * self.cu_rows
+                self.cu_table[tree] = [None] * n
+                self.ctus[tree] = []
+            self._allocate_all_ctus(k.CuTree.PRIMARY)
+            if self.num_cu_trees > 1:
+                self._allocate_all_ctus(k.CuTree.SECONDARY)
         self.force_bipred_l1_mvd_zero = self._determine_force_l1_mvd_zero(r)
         self.tmvp_ref_list = self._determine_tmvp_ref_list(r)
         pic_type = self.ref_pic_lists.get_ref_pic_type(self.tmvp_ref_list,

@@ -182,29 +182,40 @@ class PictureDecoder:
         qp = Qp(self.pic_qp, pd.chroma_format, pd.bitdepth, 0.0,
                 segment.chroma_qp_offset_table, segment.chroma_qp_offset_u,
                 segment.chroma_qp_offset_v)
-        pd.init(segment, qp, True)
-        reader = SyntaxReader(qp, pd.get_prediction_type(), bit_reader,
-                              restr)
-        cu_decoder = CuDecoder(self.rec_pic, pd, restr)
-        from ..engine import use_jax_dsp
+        from ..engine import use_jax_dsp, use_native_pic_decode
         from ..profiling import span
         jax_dsp = use_jax_dsp()
-        with span("decode.parse" if jax_dsp else "decode.parse+recon"):
-            for rsaddr in range(pd.get_number_of_ctus()):
-                cu_decoder.decode_ctu(rsaddr, reader,
-                                      reconstruct=not jax_dsp)
-        if jax_dsp:
-            from ..tpu.recon import JaxReconstructor
-            JaxReconstructor(cu_decoder).reconstruct_picture()
-        if pd.deblock:
-            with span("decode.deblock"):
-                deblocker = DeblockingFilter(pd, self.rec_pic,
-                                             pd.beta_offset,
-                                             pd.tc_offset, restr)
-                deblocker.deblock_picture()
+        native_pic_decode = not jax_dsp and use_native_pic_decode()
+        pd.init(segment, qp, True, light=native_pic_decode)
         success = True
-        if not reader.finish():
-            success = False
+        if native_pic_decode:
+            # Single-call native decode: CABAC parse, MV derivation,
+            # reconstruction and deblocking run in C++
+            # (native/xvcn_pic.inc), the compiled-decoder performance
+            # role of ref: src/xvc_dec_lib/cu_decoder.cc:47-138.
+            from ..native import pic as native_pic
+            with span("decode.native"):
+                success = native_pic.decode_picture(self, segment,
+                                                    bit_reader, qp)
+        else:
+            reader = SyntaxReader(qp, pd.get_prediction_type(), bit_reader,
+                                  restr)
+            cu_decoder = CuDecoder(self.rec_pic, pd, restr)
+            with span("decode.parse" if jax_dsp else "decode.parse+recon"):
+                for rsaddr in range(pd.get_number_of_ctus()):
+                    cu_decoder.decode_ctu(rsaddr, reader,
+                                          reconstruct=not jax_dsp)
+            if jax_dsp:
+                from ..tpu.recon import JaxReconstructor
+                JaxReconstructor(cu_decoder).reconstruct_picture()
+            if pd.deblock:
+                with span("decode.deblock"):
+                    deblocker = DeblockingFilter(pd, self.rec_pic,
+                                                 pd.beta_offset,
+                                                 pd.tc_offset, restr)
+                    deblocker.deblock_picture()
+            if not reader.finish():
+                success = False
         if pd.tid == 0 or not pd.highest_layer:
             self.rec_pic.pad_border()
         if pd.nal_type == k.NalUnitType.INTRA_ACCESS_PICTURE and \

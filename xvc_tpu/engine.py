@@ -37,3 +37,16 @@ def use_jax_intra_prepass():
     device kernel — byte-identical bitstreams, pinned by tests."""
     return os.environ.get("XVC_INTRA_PREPASS", "").lower() == "jax" or \
         use_jax_dsp()
+
+
+def use_native_pic_decode():
+    """XVC_PIC_NATIVE=1 (default when the native runtime is available)
+    routes whole-picture decode through xvcn_decode_picture: CABAC
+    parse, MV derivation, reconstruction and deblocking in one C++
+    call — the compiled-decoder role of the reference
+    (ref: src/xvc_dec_lib/cu_decoder.cc:47-138).  Set XVC_PIC_NATIVE=0
+    to force the per-CU Python host path (validation twin)."""
+    if os.environ.get("XVC_PIC_NATIVE", "1") == "0":
+        return False
+    from .native import pic as native_pic
+    return native_pic.available()

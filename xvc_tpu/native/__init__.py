@@ -101,14 +101,20 @@ def _build() -> str:
     cmake option (ref: CMakeLists.txt:22), exercised by
     tests/test_sanitize_native.py."""
     sanitize = os.environ.get("XVC_NATIVE_SANITIZE", "0") == "1"
+    h = hashlib.sha256()
     with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        h.update(f.read())
+    inc = os.path.join(_DIR, "xvcn_pic.inc")
+    if os.path.exists(inc):
+        with open(inc, "rb") as f:
+            h.update(f.read())
+    digest = h.hexdigest()[:16]
     tag = "_ubsan" if sanitize else ""
     so_path = os.path.join(_DIR, f"_xvcn_{digest}{tag}.so")
     if os.path.exists(so_path):
         return so_path
     tmp = so_path + f".tmp{os.getpid()}"
-    cmd = ["g++", "-std=c++14", "-O2", "-fPIC", "-shared",
+    cmd = ["g++", "-std=c++14", "-O3", "-fPIC", "-shared",
            "-fvisibility=hidden"]
     if sanitize:
         # memory/control-flow UB only: the arithmetic set
@@ -222,6 +228,9 @@ def _bind(lib):
         c.c_void_p, c.c_int, c.c_int, c.c_int,      # resi, bd, metric, qp
         c.c_double]
     lib.xvcn_version.restype = c.c_int
+    if hasattr(lib, "xvcn_decode_picture"):
+        lib.xvcn_decode_picture.restype = c.c_int
+        lib.xvcn_decode_picture.argtypes = [c.c_void_p]
     return lib
 
 

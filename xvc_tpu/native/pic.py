@@ -1,0 +1,250 @@
+"""Native full-picture decode driver.
+
+Wires xvcn_decode_picture (xvcn_pic.inc) into the Python session layer:
+one call per picture runs the whole CABAC parse, MV derivation,
+reconstruction and deblocking in C++ (the performance role of the
+reference's compiled decoder, ref: src/xvc_dec_lib/cu_decoder.cc:47-138).
+The Python CU path remains the validation twin (XVC_NATIVE=0 or
+XVC_DSP=jax).
+
+Cross-picture TMVP state is carried by a per-4x4 "motion field" exported
+by the native decoder after each picture and attached to the picture's
+PictureData; reference pictures pass their fields back in.
+"""
+import ctypes as c
+
+import numpy as np
+
+from .. import constants as k
+from ..restrictions import ALL_FLAGS
+from . import LIB, family_offsets
+from ..cabac.contexts import FAMILIES, OFFSETS
+
+
+class XvcnRefPic(c.Structure):
+    _fields_ = [
+        ("plane", c.c_int64 * 3),
+        ("stride", c.c_int64 * 3),
+        ("mvfield", c.c_int64),
+        ("mf_stride", c.c_int32),
+        ("poc", c.c_int32),
+        ("pic_type", c.c_int32),
+        ("width", c.c_int32),
+        ("height", c.c_int32),
+        ("pad_", c.c_int32),
+    ]
+
+
+class XvcnPicParams(c.Structure):
+    _fields_ = [
+        ("bitstream", c.c_int64),
+        ("bs_len", c.c_int64),
+        ("bs_pos", c.c_int64),
+        ("ctx_state", c.c_int64),
+        ("fam41", c.c_int64),
+        ("fam18", c.c_int64),
+        ("restr", c.c_int64),
+        ("tx_blob", c.c_int64),
+        ("tx_offsets", c.c_int64),
+        ("rec_plane", c.c_int64 * 3),
+        ("rec_stride", c.c_int64 * 3),
+        ("out_mvfield", c.c_int64),
+        ("out_mf_stride", c.c_int32),
+        ("width", c.c_int32),
+        ("height", c.c_int32),
+        ("bitdepth", c.c_int32),
+        ("chroma_fmt", c.c_int32),
+        ("pic_qp", c.c_int32),
+        ("pred_type", c.c_int32),
+        ("adaptive_qp", c.c_int32),
+        ("lic_active", c.c_int32),
+        ("tmvp_valid", c.c_int32),
+        ("tmvp_ref_list", c.c_int32),
+        ("tmvp_ref_idx", c.c_int32),
+        ("force_l1_mvd_zero", c.c_int32),
+        ("max_binary_split_depth", c.c_int32),
+        ("chroma_qp_offset_table", c.c_int32),
+        ("chroma_qp_offset_u", c.c_int32),
+        ("chroma_qp_offset_v", c.c_int32),
+        ("deblock", c.c_int32),
+        ("beta_offset", c.c_int32),
+        ("tc_offset", c.c_int32),
+        ("poc", c.c_int32),
+        ("num_ref", c.c_int32 * 2),
+        ("pad_", c.c_int32),
+        ("refs", (XvcnRefPic * 5) * 2),
+        ("out_bs_pos", c.c_int64),
+        ("parse_ns", c.c_int64),
+        ("recon_ns", c.c_int64),
+        ("deblock_ns", c.c_int64),
+        ("status", c.c_int32),
+        ("pad2_", c.c_int32),
+    ]
+
+
+_TX_CACHE = None     # (blob, offsets) int32 arrays, kept alive
+_FAM41 = None
+_FAM18 = None
+
+
+def _tx_tables():
+    """Flatten the transform basis matrices into one blob + offset index.
+
+    Index layout: [family][log2size] with families
+    0=dct2 1=dct2lo 2=dct5 3=dct8 4=dst1 5=dst7 (see get_tx_matrix).
+    """
+    global _TX_CACHE
+    if _TX_CACHE is not None:
+        return _TX_CACHE
+    from ..ops.transform import _TABLES
+    fams = ["dct2", "dct2lo", "dct5", "dct8", "dst1", "dst7"]
+    offsets = np.full(6 * 7, -1, dtype=np.int32)
+    chunks = []
+    pos = 0
+    for fi, fam in enumerate(fams):
+        for l2 in range(1, 7):
+            size = 1 << l2
+            key = f"{fam}_{size}"
+            if key not in _TABLES:
+                continue
+            m = np.ascontiguousarray(_TABLES[key], dtype=np.int32)
+            offsets[fi * 7 + l2] = pos
+            chunks.append(m.reshape(-1))
+            pos += m.size
+    blob = np.ascontiguousarray(np.concatenate(chunks), dtype=np.int32)
+    _TX_CACHE = (blob, offsets)
+    return _TX_CACHE
+
+
+def _restr_vec(restrictions):
+    vec = getattr(restrictions, "_xvcn_vec", None)
+    if vec is None:
+        vec = np.array([1 if getattr(restrictions, name) else 0
+                        for name in ALL_FLAGS], dtype=np.uint8)
+        try:
+            restrictions._xvcn_vec = vec
+        except AttributeError:
+            pass
+    return vec
+
+
+def _fam_arrays():
+    global _FAM41, _FAM18
+    if _FAM41 is None:
+        _FAM41 = np.array([OFFSETS[name] for name, _ in FAMILIES],
+                          dtype=np.int32)
+        _FAM18 = family_offsets()
+    return _FAM41, _FAM18
+
+
+def available():
+    return LIB is not None and hasattr(LIB, "xvcn_decode_picture")
+
+
+def _plane_base(pic, comp):
+    buf = pic.padded_plane(comp)
+    off = (pic.pad_y[comp] * buf.shape[1] + pic.pad_x[comp]) * 4
+    return buf.ctypes.data + off, buf.shape[1]
+
+
+def mvfield_shape(width, height):
+    num_cu_x = (width + k.MAX_BLOCK_SIZE - 1) // k.MIN_BLOCK_SIZE
+    num_cu_y = (height + k.MAX_BLOCK_SIZE - 1) // k.MIN_BLOCK_SIZE
+    return num_cu_y + 1, num_cu_x + 1
+
+
+def decode_picture(pic_decoder, segment, bit_reader, qp):
+    """Returns (success, finish_ok).  Raises ValueError on parse error
+    (same contract as the Python CU path)."""
+    pd = pic_decoder.pic_data
+    rec = pic_decoder.rec_pic
+    restr = segment.restrictions
+    fam41, fam18 = _fam_arrays()
+    tx_blob, tx_offsets = _tx_tables()
+    restr_vec = _restr_vec(restr)
+
+    from ..cabac.contexts import CabacContexts
+    ctx = CabacContexts(restr)
+    ctx.reset_states(qp.get_qp_raw(0), pd.get_prediction_type())
+
+    p = XvcnPicParams()
+    buf = bit_reader.buf
+    buf_arr = np.frombuffer(buf, dtype=np.uint8)
+    p.bitstream = buf_arr.ctypes.data
+    p.bs_len = len(buf)
+    p.bs_pos = bit_reader.pos
+    p.ctx_state = ctx.state.ctypes.data
+    p.fam41 = fam41.ctypes.data
+    p.fam18 = fam18.ctypes.data
+    p.restr = restr_vec.ctypes.data
+    p.tx_blob = tx_blob.ctypes.data
+    p.tx_offsets = tx_offsets.ctypes.data
+    for comp in range(3):
+        base, stride = _plane_base(rec, comp)
+        p.rec_plane[comp] = base
+        p.rec_stride[comp] = stride
+    rows, cols = mvfield_shape(pd.width, pd.height)
+    mvfield = np.zeros(rows * cols * 8, dtype=np.int32)
+    p.out_mvfield = mvfield.ctypes.data
+    p.out_mf_stride = cols
+    p.width = pd.width
+    p.height = pd.height
+    p.bitdepth = pd.bitdepth
+    p.chroma_fmt = int(pd.chroma_format)
+    p.pic_qp = pic_decoder.pic_qp
+    p.pred_type = int(pd.get_prediction_type())
+    p.adaptive_qp = pd.adaptive_qp
+    p.lic_active = 1 if pd.lic_active else 0
+    p.tmvp_valid = 1 if pd.tmvp_valid else 0
+    p.tmvp_ref_list = pd.tmvp_ref_list
+    p.tmvp_ref_idx = pd.tmvp_ref_idx
+    p.force_l1_mvd_zero = 1 if pd.force_bipred_l1_mvd_zero else 0
+    p.max_binary_split_depth = segment.max_binary_split_depth
+    p.chroma_qp_offset_table = segment.chroma_qp_offset_table
+    p.chroma_qp_offset_u = segment.chroma_qp_offset_u
+    p.chroma_qp_offset_v = segment.chroma_qp_offset_v
+    p.deblock = 1 if pd.deblock else 0
+    p.beta_offset = pd.beta_offset
+    p.tc_offset = pd.tc_offset
+    p.poc = pd.poc
+    keep_alive = [buf_arr, mvfield, ctx.state, fam41, fam18, tx_blob,
+                  tx_offsets, restr_vec]
+    rpl = pd.ref_pic_lists
+    for lst in range(2):
+        n = min(rpl.get_num_ref_pics(lst), 5)
+        p.num_ref[lst] = n
+        for i in range(n):
+            entry = rpl.entries[lst][i]
+            rp = p.refs[lst][i]
+            rp.poc = entry.poc
+            rp.pic_type = int(entry.pic_data.get_prediction_type())
+            rp.width = entry.rec_pic.width[0]
+            rp.height = entry.rec_pic.height[0]
+            for comp in range(3):
+                base, stride = _plane_base(entry.rec_pic, comp)
+                rp.plane[comp] = base
+                rp.stride[comp] = stride
+                keep_alive.append(entry.rec_pic.planes[comp])
+            mf = getattr(entry.pic_data, "_xvcn_mvfield", None)
+            if mf is not None:
+                rp.mvfield = mf.ctypes.data
+                rp.mf_stride = getattr(entry.pic_data, "_xvcn_mf_stride", 0)
+                keep_alive.append(mf)
+            else:
+                rp.mvfield = 0
+                rp.mf_stride = 0
+
+    status = LIB.xvcn_decode_picture(c.byref(p))
+    del keep_alive
+    from ..profiling import add_span_time
+    add_span_time("decode.native.parse", p.parse_ns / 1e9)
+    add_span_time("decode.native.recon", p.recon_ns / 1e9)
+    add_span_time("decode.native.deblock", p.deblock_ns / 1e9)
+    if status not in (0, 3):
+        raise ValueError("corrupt bitstream (native decode status %d)"
+                         % status)
+    bit_reader.pos = p.out_bs_pos
+    bit_reader.bit_mask = 0x80
+    pd._xvcn_mvfield = mvfield
+    pd._xvcn_mf_stride = cols
+    return status == 0

@@ -2923,3 +2923,7 @@ XVCN_API void xvcn_intra_prepass_satd(
                               width, height, bitdepth, 0, 0.0);
   }
 }
+
+// ---- full-picture decoder (separate unit for readability; same TU so it
+// can reuse the static engine internals above) ----
+#include "xvcn_pic.inc"

@@ -5,5 +5,14 @@ The reference scales with picture-level worker threads
 the batched analysis/compute steps over a jax.sharding.Mesh — blocks
 over the 'data' axis and the intra mode dimension over the 'mode' axis —
 and lets XLA insert the collectives.
+
+Imports are lazy: the host decode/encode path must not pay the jax
+import cost (several seconds) unless a device feature is actually used.
 """
-from .mesh import make_mesh, make_sharded_analysis_step  # noqa: F401
+
+
+def __getattr__(name):
+    if name in ("make_mesh", "make_sharded_analysis_step"):
+        from . import mesh
+        return getattr(mesh, name)
+    raise AttributeError(name)

@@ -53,6 +53,15 @@ def span(name):
         _counts[name] += 1
 
 
+def add_span_time(name, seconds, calls=1):
+    """Fold an externally measured duration (e.g. native-side timers)
+    into the span table (no-op when disabled)."""
+    if not _enabled:
+        return
+    _stats[name] += seconds
+    _counts[name] += calls
+
+
 def report():
     """{stage: {"seconds": s, "calls": n}} sorted by time desc."""
     return {name: {"seconds": round(_stats[name], 4),
