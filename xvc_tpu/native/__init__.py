@@ -114,17 +114,26 @@ def _build() -> str:
     if os.path.exists(so_path):
         return so_path
     tmp = so_path + f".tmp{os.getpid()}"
-    cmd = ["g++", "-std=c++14", "-O3", "-fPIC", "-shared",
-           "-fvisibility=hidden"]
+    base = ["g++", "-std=c++14", "-O3", "-fPIC", "-shared",
+            "-fvisibility=hidden"]
     if sanitize:
         # memory/control-flow UB only: the arithmetic set
         # (signed-overflow, shift-base) is excluded because the codec
         # intentionally mirrors the reference's wrapping int semantics
-        cmd += ["-fsanitize=bounds,null,object-size,return,vla-bound,"
-                "alignment,nonnull-attribute",
-                "-fsanitize-undefined-trap-on-error"]
-    cmd += [_SRC, "-o", tmp]
-    subprocess.run(cmd, check=True, capture_output=True)
+        base += ["-fsanitize=bounds,null,object-size,return,vla-bound,"
+                 "alignment,nonnull-attribute",
+                 "-fsanitize-undefined-trap-on-error"]
+    # -march=native roughly doubles the MC/transform throughput (the
+    # compiler vectorizes the filter loops); fall back to the portable
+    # build if the toolchain rejects it.
+    for extra in (["-march=native"], []):
+        cmd = base + extra + [_SRC, "-o", tmp]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            break
+        except subprocess.CalledProcessError:
+            if not extra:
+                raise
     os.replace(tmp, so_path)
     return so_path
 
