@@ -10,11 +10,13 @@ sides):
   kernel_* stand-alone TPU kernel throughput (not comparable to full
            codec numbers; listed separately)
 
-The headline metric is 720p low-delay decode throughput of the device
-path; vs_baseline is ours / reference-xvcdec on the same stream (an
-honest <1 number until the CABAC tail and the host<->device tunnel stop
-dominating).  All decodes are verified bit-exact against the reference
-decoder before being timed.
+The headline metric is 720p low-delay decode throughput of the primary
+(host) path — since round 3 a single-call native decode (CABAC parse,
+MV derivation, reconstruction, deblock in C++); vs_baseline is ours /
+reference-xvcdec on the same stream.  The jax device path is reported
+separately for every config (including a CPU-backend run that removes
+the device tunnel from the measurement).  All decodes are verified
+bit-exact against the reference decoder before being timed.
 
 Note: in this environment the TPU is behind a network tunnel with
 ~70-100 ms per transfer and ~10 ms per dispatch; jax_* figures are
@@ -85,23 +87,32 @@ def ref_encode(enc, yuv, out, w, h, args):
                       "-internal-bitdepth", "8"] + args)
 
 
-def our_decode_timed(bitstream_path, expect_path, dsp):
+def our_decode_timed(bitstream_path, expect_path, dsp, profile=False,
+                     cpu_backend=False):
     """Decode in a fresh process (clean jax state), verify bit-exact,
-    return seconds (decode loop only, after warmup when dsp=jax)."""
+    return (seconds, frames[, profile dict]) — decode loop only, best of
+    two passes (first pass warms caches/compiles)."""
     code = (
         "import time,sys\n"
         "bs = open(%r,'rb').read()\n"
+        "if %r:\n"
+        "    import jax\n"
+        "    jax.config.update('jax_platforms','cpu')\n"
+        "from xvc_tpu import profiling\n"
         "from xvc_tpu.codec.decoder import decode_stream\n"
-        "if %r == 'jax':\n"
-        "    decode_stream(bs)  # warm the compile caches\n"
+        "decode_stream(bs)  # warm caches (imports, compiles, tables)\n"
+        "profiling.enable(%r)\n"
         "t0 = time.perf_counter()\n"
         "pics = decode_stream(bs)\n"
         "t = time.perf_counter() - t0\n"
         "out = b''.join(p.bytes for p in pics)\n"
         "assert all(p.conforming for p in pics), 'non-conforming'\n"
         "assert out == open(%r,'rb').read(), 'not bit-exact'\n"
+        "import json\n"
         "print('T=%%.4f N=%%d' %% (t, len(pics)))\n"
-        % (bitstream_path, dsp, expect_path))
+        "print('P=' + json.dumps({k: v['seconds'] for k, v in "
+        "profiling.report().items()}))\n"
+        % (bitstream_path, cpu_backend, profile, expect_path))
     env = dict(os.environ, XVC_DSP=dsp, PYTHONPATH=PYPATH)
     last_err = None
     for _ in range(2):  # one retry: the TPU tunnel can drop or stall
@@ -115,22 +126,45 @@ def our_decode_timed(bitstream_path, expect_path, dsp):
         if r.returncode == 0:
             line = [ln for ln in r.stdout.splitlines()
                     if ln.startswith("T=")][0]
-            return float(line.split()[0][2:]), int(line.split()[1][2:])
+            prof = {}
+            for ln in r.stdout.splitlines():
+                if ln.startswith("P="):
+                    prof = json.loads(ln[2:])
+            return (float(line.split()[0][2:]), int(line.split()[1][2:]),
+                    prof)
         last_err = r.stderr[-500:]
     raise RuntimeError("decode bench failed (%s): %s" % (dsp, last_err))
 
 
-def our_encode_timed(yuv, out, w, h, n_frames):
+def our_encode_timed(yuv, out, w, h, n_frames, speed_mode=2):
+    """All-intra encode in a fresh process; returns seconds of the
+    encode loop only (interpreter/import cost excluded)."""
+    code = (
+        "import time\n"
+        "from xvc_tpu import api\n"
+        "raw = open(%r,'rb').read()\n"
+        "p = api.EncoderParameters(width=%d, height=%d, qp=32,\n"
+        "    input_bitdepth=8, internal_bitdepth=8, checksum_mode=1,\n"
+        "    num_ref_pics=0, sub_gop_length=1, speed_mode=%d)\n"
+        "enc = api.EncoderSession(p)\n"
+        "fs = %d * %d * 3 // 2\n"
+        "t0 = time.perf_counter()\n"
+        "nals = []\n"
+        "for i in range(%d):\n"
+        "    nals += enc.encode(raw[i*fs:(i+1)*fs])\n"
+        "nals += enc.flush()\n"
+        "t = time.perf_counter() - t0\n"
+        "data = b''.join(len(n).to_bytes(4,'little') + n\n"
+        "                for n in nals)\n"
+        "open(%r,'wb').write(data)\n"
+        "print('T=%%.4f' %% t)\n"
+        % (yuv, w, h, speed_mode, w, h, n_frames, out))
     env = dict(os.environ, PYTHONPATH=PYPATH)
-    cmd = [sys.executable, os.path.join(REPO, "cli", "xvcenc.py"),
-           "-input-file", yuv, "-output-file", out,
-           "-input-width", str(w), "-input-height", str(h),
-           "-qp", "32", "-num-ref-pics", "0", "-sub-gop-length", "1",
-           "-speed-mode", "2"]
-    t0 = time.perf_counter()
-    subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
-                   check=True)
-    return time.perf_counter() - t0
+    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                       capture_output=True, text=True, timeout=1800,
+                       check=True)
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("T=")][0]
+    return float(line[2:])
 
 
 def kernel_throughput():
@@ -183,10 +217,39 @@ def main():
     # ---- content ----
     cif = os.path.join(WORK, "cif16.yuv")
     hd = os.path.join(WORK, "hd720_8.yuv")
+    fhd = os.path.join(WORK, "fhd1080_8.yuv")
     small = os.path.join(WORK, "small2.yuv")
     gen_yuv(cif, 352, 288, 16)
     gen_yuv(hd, 1280, 720, 8)
+    gen_yuv(fhd, 1920, 1080, 8)
     gen_yuv(small, 64, 48, 2)
+
+    def decode_config(tag, bs, dec_yuv, w, h, n, profile_host=False):
+        """Reference + host + jax (device backend) + jax (cpu backend)."""
+        t = run_timed([dec, "-bitstream-file", bs, "-output-file",
+                       dec_yuv])
+        ref = w * h * n / t / 1e6
+        extra["ref_decode_%s_mpixs" % tag] = round(ref, 3)
+        t, nn, prof = our_decode_timed(bs, dec_yuv, "host",
+                                       profile=profile_host)
+        host = w * h * nn / t / 1e6
+        extra["host_decode_%s_mpixs" % tag] = round(host, 3)
+        if prof:
+            extra["profile_%s_host" % tag] = prof
+        try:
+            t, nn, _ = our_decode_timed(bs, dec_yuv, "jax")
+            extra["jax_decode_%s_mpixs" % tag] = round(w * h * nn / t / 1e6,
+                                                       3)
+        except RuntimeError as e:
+            extra["jax_decode_%s_error" % tag] = str(e)[:160]
+        try:
+            t, nn, _ = our_decode_timed(bs, dec_yuv, "jax",
+                                        cpu_backend=True)
+            extra["jaxcpu_decode_%s_mpixs" % tag] = \
+                round(w * h * nn / t / 1e6, 3)
+        except RuntimeError as e:
+            extra["jaxcpu_decode_%s_error" % tag] = str(e)[:160]
+        return ref, host
 
     # ---- config 1: CIF all-intra QP32 (fast speed mode) ----
     _log("config 1: CIF AI")
@@ -198,53 +261,66 @@ def main():
                         "-sub-gop-length", "1", "-speed-mode", "2"])
         extra["ref_encode_cif_ai_mpixs"] = round(352 * 288 * 16 / t / 1e6,
                                                  4)
-    t = run_timed([dec, "-bitstream-file", cif_bs, "-output-file",
-                   cif_dec])
-    extra["ref_decode_cif_ai_mpixs"] = round(352 * 288 * 16 / t / 1e6, 3)
-    t, n = our_decode_timed(cif_bs, cif_dec, "host")
-    extra["host_decode_cif_ai_mpixs"] = round(352 * 288 * n / t / 1e6, 3)
-    try:
-        t, n = our_decode_timed(cif_bs, cif_dec, "jax")
-        extra["jax_decode_cif_ai_mpixs"] = round(352 * 288 * n / t / 1e6,
-                                                 3)
-    except RuntimeError as e:
-        extra["jax_decode_cif_ai_error"] = str(e)[:160]
+    decode_config("cif_ai", cif_bs, cif_dec, 352, 288, 16)
 
     # ---- config 2: 720p low-delay QP32 1 ref (fast speed mode) ----
     _log("config 2: 720p LD")
     hd_bs = os.path.join(WORK, "hd720_ld.xvc")
     hd_dec = os.path.join(WORK, "hd720_ld_dec.yuv")
     if not os.path.exists(hd_bs):
-        t = ref_encode(enc, hd, hd_bs, 1280, 720,
-                       ["-qp", "32", "-num-ref-pics", "1",
-                        "-sub-gop-length", "1", "-speed-mode", "2"])
-        extra["ref_encode_720p_ld_mpixs"] = round(1280 * 720 * 8 / t / 1e6,
-                                                  4)
-    t = run_timed([dec, "-bitstream-file", hd_bs, "-output-file", hd_dec])
-    ref_720 = 1280 * 720 * 8 / t / 1e6
-    extra["ref_decode_720p_ld_mpixs"] = round(ref_720, 3)
-    t, n = our_decode_timed(hd_bs, hd_dec, "host")
-    host_720 = 1280 * 720 * n / t / 1e6
-    extra["host_decode_720p_ld_mpixs"] = round(host_720, 3)
-    try:
-        t, n = our_decode_timed(hd_bs, hd_dec, "jax")
-        jax_720 = 1280 * 720 * n / t / 1e6
-        extra["jax_decode_720p_ld_mpixs"] = round(jax_720, 3)
-    except RuntimeError as e:
-        extra["jax_decode_720p_ld_error"] = str(e)[:160]
-        jax_720 = None
+        ref_encode(enc, hd, hd_bs, 1280, 720,
+                   ["-qp", "32", "-num-ref-pics", "1",
+                    "-sub-gop-length", "1", "-speed-mode", "2"])
+    ref_720, host_720 = decode_config("720p_ld", hd_bs, hd_dec, 1280, 720,
+                                      8, profile_host=True)
 
-    # ---- encode comparison (small frames: our host encoder is the
-    # round-3 optimization target; same config both sides) ----
+    # ---- config 3: 1080p random-access hierarchical GOP (BASELINE
+    # config 3: RDOQ + deblock are reference defaults) ----
+    _log("config 3: 1080p RA")
+    fhd_bs = os.path.join(WORK, "fhd1080_ra.xvc")
+    fhd_dec = os.path.join(WORK, "fhd1080_ra_dec.yuv")
+    if not os.path.exists(fhd_bs):
+        ref_encode(enc, fhd, fhd_bs, 1920, 1080,
+                   ["-qp", "32", "-num-ref-pics", "2",
+                    "-sub-gop-length", "8", "-speed-mode", "2"])
+    decode_config("1080p_ra", fhd_bs, fhd_dec, 1920, 1080, 8,
+                  profile_host=True)
+
+    # ---- encode comparison (all-intra, both speed modes; the native
+    # intra CTU-RDO encoder is the round-3 addition) ----
     _log("encode comparison")
-    sm_ref = os.path.join(WORK, "small_ref.xvc")
-    t = ref_encode(enc, small, sm_ref, 64, 48,
+    for sm, name in ((2, "fast"), (1, "slow")):
+        sm_ref = os.path.join(WORK, "small_ref_sm%d.xvc" % sm)
+        t = ref_encode(enc, small, sm_ref, 64, 48,
+                       ["-qp", "32", "-num-ref-pics", "0",
+                        "-sub-gop-length", "1", "-speed-mode", str(sm)])
+        extra["ref_encode_64x48_ai_%s_mpixs" % name] = \
+            round(64 * 48 * 2 / t / 1e6, 4)
+        sm_ours = os.path.join(WORK, "small_ours_sm%d.xvc" % sm)
+        t = our_encode_timed(small, sm_ours, 64, 48, 2, speed_mode=sm)
+        extra["host_encode_64x48_ai_%s_mpixs" % name] = \
+            round(64 * 48 * 2 / t / 1e6, 4)
+        # byte-identity vs the reference bitstream (same config)
+        extra["encode_64x48_%s_byte_identical" % name] = (
+            open(sm_ref, "rb").read() == open(sm_ours, "rb").read())
+    # CIF AI fast: the VERDICT r2 target config
+    cif4 = os.path.join(WORK, "cif4.yuv")
+    with open(cif, "rb") as f:
+        data = f.read(352 * 288 * 3 // 2 * 4)
+    with open(cif4, "wb") as f:
+        f.write(data)
+    cif_ref_enc = os.path.join(WORK, "cif_ref_enc.xvc")
+    t = ref_encode(enc, cif4, cif_ref_enc, 352, 288,
                    ["-qp", "32", "-num-ref-pics", "0",
                     "-sub-gop-length", "1", "-speed-mode", "2"])
-    extra["ref_encode_64x48_ai_mpixs"] = round(64 * 48 * 2 / t / 1e6, 4)
-    sm_ours = os.path.join(WORK, "small_ours.xvc")
-    t = our_encode_timed(small, sm_ours, 64, 48, 2)
-    extra["host_encode_64x48_ai_mpixs"] = round(64 * 48 * 2 / t / 1e6, 4)
+    extra["ref_encode_cif_ai_fast_mpixs"] = \
+        round(352 * 288 * 4 / t / 1e6, 4)
+    cif_ours_enc = os.path.join(WORK, "cif_ours_enc.xvc")
+    t = our_encode_timed(cif4, cif_ours_enc, 352, 288, 4, speed_mode=2)
+    extra["host_encode_cif_ai_fast_mpixs"] = \
+        round(352 * 288 * 4 / t / 1e6, 4)
+    extra["encode_cif_fast_byte_identical"] = (
+        open(cif_ref_enc, "rb").read() == open(cif_ours_enc, "rb").read())
 
     # ---- stand-alone TPU kernel (separate section, not comparable) ----
     _log("kernel throughput")
@@ -256,18 +332,16 @@ def main():
     import jax
     extra["jax_backend"] = jax.default_backend()
     extra["tunnel_note"] = ("jax_* numbers include ~70-100ms/transfer "
-                            "tunnel latency; bit-exactness verified "
-                            "vs reference xvcdec on every timed stream")
+                            "tunnel latency (jaxcpu_* re-runs the same "
+                            "device path on the CPU backend, tunnel-"
+                            "free); bit-exactness verified vs reference "
+                            "xvcdec on every timed stream")
 
-    if jax_720 is not None:
-        metric, value = "decode_720p_ld_jax_device_path", jax_720
-    else:  # device tunnel unavailable: report the host path honestly
-        metric, value = "decode_720p_ld_host_path", host_720
     print(json.dumps({
-        "metric": metric,
-        "value": round(value, 3),
+        "metric": "decode_720p_ld_host_path",
+        "value": round(host_720, 3),
         "unit": "Mpix/s",
-        "vs_baseline": round(value / ref_720, 4),
+        "vs_baseline": round(host_720 / ref_720, 4),
         "extra": extra,
     }))
 

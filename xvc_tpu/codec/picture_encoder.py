@@ -92,7 +92,10 @@ class PictureEncoder:
         base_qp = Qp(scaled_qp, pd.chroma_format, pd.bitdepth, pic_lambda,
                      settings.chroma_qp_offset_table,
                      settings.chroma_qp_offset_u, settings.chroma_qp_offset_v)
-        pd.init(segment, base_qp, settings.adaptive_qp > 0)
+        from ..native import enc as native_enc
+        use_native = native_enc.usable_for(pd, settings)
+        pd.init(segment, base_qp, settings.adaptive_qp > 0,
+                light=use_native)
         allow_lic = self._determine_allow_lic(pd, segment.restrictions)
         pd.lic_active = allow_lic
 
@@ -102,24 +105,34 @@ class PictureEncoder:
             bit_writer.write_bits(1, 8)
         self._write_header(segment, pd, buffer_flag, bit_writer)
 
-        writer = SyntaxWriter(base_qp, pd.get_prediction_type(), bit_writer,
-                              segment.restrictions)
-        cu_encoder = CuEncoder(self.orig_pic, self.rec_pic, pd, settings)
-        if settings.tpu_intra_lookahead:
-            from ..tpu.lookahead import frame_intra_lookahead
-            cu_encoder.intra_search.lookahead = frame_intra_lookahead(
-                self.orig_pic.plane_view(0), pd.bitdepth,
-                segment.restrictions)
-        if not pd.is_intra_pic():
-            from .inter_me import InterSearch
-            cu_encoder.inter_search = InterSearch(cu_encoder)
-        for rsaddr in range(pd.get_number_of_ctus()):
-            cu_encoder.encode_ctu(rsaddr, writer)
-        if pd.deblock:
-            deblocker = DeblockingFilter(pd, self.rec_pic, pd.beta_offset,
-                                         pd.tc_offset, segment.restrictions)
-            deblocker.deblock_picture()
-        writer.finish()
+        if use_native:
+            # Whole-picture CTU RDO + entropy write in one native call
+            # (native/xvcn_enc.inc); byte-identical to the Python path.
+            from ..profiling import span
+            with span("encode.native"):
+                payload = native_enc.encode_picture_intra(
+                    self, segment, settings, base_qp)
+            bit_writer.write_bytes(payload)
+        else:
+            writer = SyntaxWriter(base_qp, pd.get_prediction_type(),
+                                  bit_writer, segment.restrictions)
+            cu_encoder = CuEncoder(self.orig_pic, self.rec_pic, pd, settings)
+            if settings.tpu_intra_lookahead:
+                from ..tpu.lookahead import frame_intra_lookahead
+                cu_encoder.intra_search.lookahead = frame_intra_lookahead(
+                    self.orig_pic.plane_view(0), pd.bitdepth,
+                    segment.restrictions)
+            if not pd.is_intra_pic():
+                from .inter_me import InterSearch
+                cu_encoder.inter_search = InterSearch(cu_encoder)
+            for rsaddr in range(pd.get_number_of_ctus()):
+                cu_encoder.encode_ctu(rsaddr, writer)
+            if pd.deblock:
+                deblocker = DeblockingFilter(pd, self.rec_pic,
+                                             pd.beta_offset, pd.tc_offset,
+                                             segment.restrictions)
+                deblocker.deblock_picture()
+            writer.finish()
 
         if pd.tid == 0 or not pd.highest_layer:
             self.rec_pic.pad_border()

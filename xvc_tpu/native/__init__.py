@@ -104,10 +104,11 @@ def _build() -> str:
     h = hashlib.sha256()
     with open(_SRC, "rb") as f:
         h.update(f.read())
-    inc = os.path.join(_DIR, "xvcn_pic.inc")
-    if os.path.exists(inc):
-        with open(inc, "rb") as f:
-            h.update(f.read())
+    for name in ("xvcn_pic.inc", "xvcn_enc.inc"):
+        inc = os.path.join(_DIR, name)
+        if os.path.exists(inc):
+            with open(inc, "rb") as f:
+                h.update(f.read())
     digest = h.hexdigest()[:16]
     tag = "_ubsan" if sanitize else ""
     so_path = os.path.join(_DIR, f"_xvcn_{digest}{tag}.so")
@@ -240,6 +241,9 @@ def _bind(lib):
     if hasattr(lib, "xvcn_decode_picture"):
         lib.xvcn_decode_picture.restype = c.c_int
         lib.xvcn_decode_picture.argtypes = [c.c_void_p]
+    if hasattr(lib, "xvcn_encode_picture_intra"):
+        lib.xvcn_encode_picture_intra.restype = c.c_int
+        lib.xvcn_encode_picture_intra.argtypes = [c.c_void_p]
     return lib
 
 
