@@ -328,6 +328,13 @@ def main():
         extra["kernel_intra67_satd_mpixs"] = round(kernel_throughput(), 1)
     except Exception as e:  # no jax backend available
         extra["kernel_error"] = repr(e)[:120]
+    try:
+        from xvc_tpu.tpu.pallas_satd import bench_device
+        r = bench_device(batch=16384, iters=50)
+        extra["kernel_satd8_pallas_mpixs"] = round(r["pallas"], 1)
+        extra["kernel_satd8_xla_mpixs"] = round(r["xla"], 1)
+    except Exception as e:
+        extra["kernel_pallas_error"] = repr(e)[:120]
 
     import jax
     extra["jax_backend"] = jax.default_backend()

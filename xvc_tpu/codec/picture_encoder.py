@@ -110,7 +110,7 @@ class PictureEncoder:
             # (native/xvcn_enc.inc); byte-identical to the Python path.
             from ..profiling import span
             with span("encode.native"):
-                payload = native_enc.encode_picture_intra(
+                payload = native_enc.encode_picture(
                     self, segment, settings, base_qp)
             bit_writer.write_bytes(payload)
         else:

@@ -104,7 +104,8 @@ def _build() -> str:
     h = hashlib.sha256()
     with open(_SRC, "rb") as f:
         h.update(f.read())
-    for name in ("xvcn_pic.inc", "xvcn_enc.inc"):
+    for name in ("xvcn_pic.inc", "xvcn_enc.inc",
+                 "xvcn_enc_inter.inc"):
         inc = os.path.join(_DIR, name)
         if os.path.exists(inc):
             with open(inc, "rb") as f:

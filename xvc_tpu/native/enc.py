@@ -13,7 +13,8 @@ import numpy as np
 
 from .. import constants as k
 from . import LIB
-from .pic import _fam_arrays, _plane_base, _restr_vec, _tx_tables
+from .pic import (XvcnRefPic as _XvcnRefPic, _fam_arrays, _plane_base,
+                  _restr_vec, _tx_tables, mvfield_shape)
 
 
 class XvcnEncSettings(c.Structure):
@@ -31,7 +32,14 @@ class XvcnEncSettings(c.Structure):
         ("eval_prev_mv_search_result", c.c_int32),
         ("fast_merge_eval", c.c_int32),
         ("fast_inter_transform_dist", c.c_int32),
-        ("pad_", c.c_int32),
+        ("inter_search_range_bi", c.c_int32),
+        ("inter_search_range_uni_max", c.c_int32),
+        ("inter_search_range_uni_min", c.c_int32),
+        ("bipred_refinement_iterations", c.c_int32),
+        ("always_evaluate_intra_in_inter", c.c_int32),
+        ("fast_mode_selection_for_cached_cu", c.c_int32),
+        ("fast_inter_pred_bits", c.c_int32),
+        ("skip_mode_decision_for_identical_cu", c.c_int32),
     ]
 
 
@@ -65,7 +73,18 @@ class XvcnEncPicParams(c.Structure):
         ("tc_offset", c.c_int32),
         ("poc", c.c_int32),
         ("num_ctx", c.c_int32),
-        ("pad3_", c.c_int32),
+        ("lic_active", c.c_int32),
+        ("tmvp_valid", c.c_int32),
+        ("tmvp_ref_list", c.c_int32),
+        ("tmvp_ref_idx", c.c_int32),
+        ("force_l1_mvd_zero", c.c_int32),
+        ("sub_gop_length", c.c_int32),
+        ("num_ref", c.c_int32 * 2),
+        ("highest_layer", c.c_int32),
+        ("refs", (_XvcnRefPic * 5) * 2),
+        ("out_mvfield", c.c_int64),
+        ("out_mf_stride", c.c_int32),
+        ("pad4_", c.c_int32),
         ("settings", XvcnEncSettings),
         ("out_len", c.c_int64),
         ("start_frac_bits", c.c_int64),
@@ -81,20 +100,22 @@ def available():
 
 
 def usable_for(pic_data, settings):
-    """Native intra encode covers intra pictures without the device
-    lookahead (which reorders mode candidates from device cost maps)."""
-    if not available() or not pic_data.is_intra_pic():
+    """Native encode covers every picture type; sessions using the
+    device lookahead (which reorders mode candidates from device cost
+    maps) or the jax intra pre-pass keep the Python path so those code
+    paths stay exercised."""
+    if not available():
         return False
     if settings.tpu_intra_lookahead:
         return False
     from ..engine import use_jax_intra_prepass
     if use_jax_intra_prepass():
-        return False  # keep the device pre-pass path exercised
+        return False
     return True
 
 
-def encode_picture_intra(pic_encoder, segment, settings, base_qp):
-    """Returns the CABAC payload bytes for one intra picture; the
+def encode_picture(pic_encoder, segment, settings, base_qp):
+    """Returns the CABAC payload bytes for one picture; the
     reconstruction is written into pic_encoder.rec_pic in place."""
     pd = pic_encoder.pic_data
     rec = pic_encoder.rec_pic
@@ -141,6 +162,17 @@ def encode_picture_intra(pic_encoder, segment, settings, base_qp):
     p.tc_offset = pd.tc_offset
     p.poc = pd.poc
     p.num_ctx = NUM_CONTEXTS
+    p.lic_active = 1 if pd.lic_active else 0
+    p.tmvp_valid = 1 if pd.tmvp_valid else 0
+    p.tmvp_ref_list = pd.tmvp_ref_list
+    p.tmvp_ref_idx = pd.tmvp_ref_idx
+    p.force_l1_mvd_zero = 1 if pd.force_bipred_l1_mvd_zero else 0
+    p.sub_gop_length = pd.sub_gop_length
+    p.highest_layer = 1 if pd.highest_layer else 0
+    rows, cols = mvfield_shape(pd.width, pd.height)
+    mvfield = np.zeros(rows * cols * 8, dtype=np.int32)
+    p.out_mvfield = mvfield.ctypes.data
+    p.out_mf_stride = cols
     s = p.settings
     s.rdo_quant = 1 if settings.rdo_quant else 0
     s.rdo_quant_2x2 = settings.rdo_quant_2x2
@@ -158,13 +190,50 @@ def encode_picture_intra(pic_encoder, segment, settings, base_qp):
     s.fast_merge_eval = settings.fast_merge_eval
     s.fast_inter_transform_dist = \
         1 if settings.fast_inter_transform_dist else 0
+    s.inter_search_range_bi = settings.inter_search_range_bi
+    s.inter_search_range_uni_max = settings.inter_search_range_uni_max
+    s.inter_search_range_uni_min = settings.inter_search_range_uni_min
+    s.bipred_refinement_iterations = settings.bipred_refinement_iterations
+    s.always_evaluate_intra_in_inter = \
+        settings.always_evaluate_intra_in_inter
+    s.fast_mode_selection_for_cached_cu = \
+        1 if settings.fast_mode_selection_for_cached_cu else 0
+    s.fast_inter_pred_bits = settings.fast_inter_pred_bits
+    s.skip_mode_decision_for_identical_cu = \
+        1 if settings.skip_mode_decision_for_identical_cu else 0
 
     keep_alive = [ctx.state, fam41, fam18, tx_blob, tx_offsets, restr_vec,
-                  out] + [orig.planes[i] for i in range(3)] + \
+                  out, mvfield] + [orig.planes[i] for i in range(3)] + \
                  [rec.planes[i] for i in range(3)]
+    rpl = pd.ref_pic_lists
+    for lst in range(2):
+        n = min(rpl.get_num_ref_pics(lst), 5)
+        p.num_ref[lst] = n
+        for i in range(n):
+            entry = rpl.entries[lst][i]
+            rp = p.refs[lst][i]
+            rp.poc = entry.poc
+            rp.pic_type = int(entry.pic_data.get_prediction_type())
+            rp.width = entry.rec_pic.width[0]
+            rp.height = entry.rec_pic.height[0]
+            for comp in range(3):
+                base, stride = _plane_base(entry.rec_pic, comp)
+                rp.plane[comp] = base
+                rp.stride[comp] = stride
+                keep_alive.append(entry.rec_pic.planes[comp])
+            mf = getattr(entry.pic_data, "_xvcn_mvfield", None)
+            if mf is not None and entry.rec_pic.width[0] == pd.width and \
+                    entry.rec_pic.height[0] == pd.height:
+                rp.mvfield = mf.ctypes.data
+                rp.mf_stride = getattr(entry.pic_data, "_xvcn_mf_stride", 0)
+                keep_alive.append(mf)
+            else:
+                rp.mvfield = 0
+                rp.mf_stride = 0
     status = LIB.xvcn_encode_picture_intra(c.byref(p))
     del keep_alive
     if status != 0:
-        raise RuntimeError("native intra encode failed (status %d)"
-                           % status)
+        raise RuntimeError("native encode failed (status %d)" % status)
+    pd._xvcn_mvfield = mvfield
+    pd._xvcn_mf_stride = cols
     return out[:p.out_len].tobytes()

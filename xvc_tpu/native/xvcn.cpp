@@ -2928,3 +2928,4 @@ XVCN_API void xvcn_intra_prepass_satd(
 // can reuse the static engine internals above) ----
 #include "xvcn_pic.inc"
 #include "xvcn_enc.inc"
+#include "xvcn_enc_inter.inc"
