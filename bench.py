@@ -336,6 +336,27 @@ def main():
     except Exception as e:
         extra["kernel_pallas_error"] = repr(e)[:120]
 
+    # ---- mesh scaling check (8 virtual CPU devices; correctness +
+    # dispatch-structure check — one host cannot show real ICI scaling,
+    # the sharded==unsharded byte equality is the meaningful contract,
+    # asserted by __graft_entry__.dryrun_multichip / MULTICHIP_r*.json) --
+    _log("mesh dryrun")
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms','cpu')\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+        "print('MESH_OK')\n")
+    env = dict(os.environ, PYTHONPATH=PYPATH,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                           capture_output=True, text=True, timeout=900)
+        extra["mesh8_sharded_encode_decode_byte_identical"] = \
+            "MESH_OK" in r.stdout
+    except Exception as e:
+        extra["mesh8_error"] = repr(e)[:120]
+
     import jax
     extra["jax_backend"] = jax.default_backend()
     extra["tunnel_note"] = ("jax_* numbers include ~70-100ms/transfer "

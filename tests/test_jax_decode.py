@@ -66,3 +66,14 @@ def test_jax_decode_scalability_splice(jax_dsp):
     assert all(p.conforming for p in dev)
     for a, b in zip(host, dev):
         assert a.bytes == b.bytes, f"poc {a.poc}"
+
+
+def test_all_intra_420_device_tail_empty(jax_dsp):
+    """VERDICT r2 item 4: on an all-intra 4:2:0 stream the device path
+    must reconstruct every block on device — luma via the intra scan,
+    chroma (incl. LM) via the chroma scan — leaving the sequential host
+    tail with zero blocks."""
+    from xvc_tpu.tpu import recon
+    pics = decode_stream(read_data("ai64x48.xvc"))
+    assert all(p.conforming for p in pics)
+    assert recon.LAST_TAIL_BLOCKS == 0

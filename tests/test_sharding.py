@@ -1,32 +1,76 @@
-"""Sharded == unsharded invariant on a virtual 8-device CPU mesh."""
+"""Sharded == unsharded invariants on a virtual 8-device CPU mesh.
+
+The mesh shards the two scale-out axes of the codec: decode block
+batches (xvc_tpu/tpu/recon.py, via __graft_entry__.dryrun_multichip)
+and the encoder's whole-frame intra lookahead batches
+(xvc_tpu/tpu/lookahead.py) — both must match the single-device result
+exactly, the reference's determinism contract
+(ref: test/xvc_test/simd_test.cc:149-176) lifted to the mesh.
+"""
 import numpy as np
 import jax
-import jax.numpy as jnp
 import pytest
 
-from xvc_tpu.parallel.mesh import (make_mesh, make_sharded_analysis_step,
-                                   padded_weights)
-from xvc_tpu.tpu import analysis as an
+from xvc_tpu import engine
+from xvc_tpu.parallel.mesh import make_mesh
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_sharded_equals_unsharded():
-    n, bitdepth = 8, 8
+def test_sharded_lookahead_equals_unsharded():
+    from xvc_tpu.restrictions import Restrictions
+    from xvc_tpu.tpu.lookahead import frame_intra_lookahead
     rng = np.random.RandomState(11)
-    frame = rng.randint(0, 256, size=(64, 64)).astype(np.int32)
-    orig, top, left = an.extract_blocks(frame, n, bitdepth)
-    weights = jnp.asarray(padded_weights(n))
+    frame = rng.randint(0, 256, size=(96, 128)).astype(np.int32)
+    restr = Restrictions()
+    ref = frame_intra_lookahead(frame, 8, restr)
+    mesh = make_mesh(jax.devices()[:8])
+    engine.set_mesh(mesh)
+    try:
+        sharded = frame_intra_lookahead(frame, 8, restr)
+    finally:
+        engine.set_mesh(None)
+    assert set(ref) == set(sharded)
+    for n in ref:
+        assert np.array_equal(ref[n], sharded[n]), n
 
-    mesh8 = make_mesh(jax.devices()[:8])
-    mesh1 = make_mesh(jax.devices()[:1])
-    step8 = make_sharded_analysis_step(mesh8, n, bitdepth)
-    step1 = make_sharded_analysis_step(mesh1, n, bitdepth)
-    o8 = jax.device_get(step8(jnp.asarray(orig), jnp.asarray(top),
-                              jnp.asarray(left), weights))
-    o1 = jax.device_get(step1(jnp.asarray(orig), jnp.asarray(top),
-                              jnp.asarray(left), weights))
-    for key in ("best_mode", "satd", "ssd", "levels"):
-        assert np.array_equal(o8[key], o1[key]), key
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_lookahead_encode_byte_identical():
+    """A lookahead encode with the analysis sharded over the mesh must
+    produce the same bitstream as the single-device lookahead encode."""
+    from xvc_tpu import api
+    rng = np.random.RandomState(4)
+    w, h, frames = 64, 64, 2
+    yy, xx = np.mgrid[0:h, 0:w]
+    raws = []
+    for t in range(frames):
+        y = np.clip(100 + 50 * np.sin((xx + 3 * t) / 7.0) +
+                    rng.randint(-8, 9, (h, w)), 0, 255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        v = np.full((h // 2, w // 2), 136, np.uint8)
+        raws.append(y.tobytes() + u.tobytes() + v.tobytes())
+    raw = b"".join(raws)
+
+    def encode():
+        p = api.EncoderParameters(
+            width=w, height=h, qp=32, checksum_mode=1, num_ref_pics=0,
+            sub_gop_length=1,
+            explicit_encoder_settings="tpu_intra_lookahead 1")
+        enc = api.EncoderSession(p)
+        fs = w * h * 3 // 2
+        nals = []
+        for i in range(frames):
+            nals += enc.encode(raw[i * fs:(i + 1) * fs])
+        nals += enc.flush()
+        return b"".join(len(n).to_bytes(4, "little") + n for n in nals)
+
+    unsharded = encode()
+    engine.set_mesh(make_mesh(jax.devices()[:8]))
+    try:
+        sharded = encode()
+    finally:
+        engine.set_mesh(None)
+    assert sharded == unsharded
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
@@ -51,12 +95,3 @@ def test_entry_compiles():
     out = jax.block_until_ready(fn(*args))
     # flagship decode-path MC kernel: one 16x16 block per batch entry
     assert out.shape == (args[1].shape[1], 16, 16)
-
-
-def test_multichip_dryrun_real_codec():
-    """Full-codec multi-device check: encode a real low-delay sub-GOP,
-    decode with block batches sharded over an 8-device mesh, assert
-    byte equality with the host decode (sharded == unsharded, the
-    reference's determinism contract lifted to the mesh)."""
-    import __graft_entry__ as graft
-    graft.dryrun_multichip(8)

@@ -12,7 +12,8 @@ import cost (several seconds) unless a device feature is actually used.
 
 
 def __getattr__(name):
-    if name in ("make_mesh", "make_sharded_analysis_step"):
+    if name in ("make_mesh", "make_sharded_intra_satd_fn",
+                "shard_count"):
         from . import mesh
         return getattr(mesh, name)
     raise AttributeError(name)

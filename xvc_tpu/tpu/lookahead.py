@@ -15,6 +15,7 @@ mode (EncoderSettings.tpu_intra_lookahead), producing a different but
 conforming bitstream; quality impact is pinned by tests.
 """
 import numpy as np
+import jax
 
 from ..ops import intra_pred as ip
 
@@ -51,18 +52,41 @@ def _extract_grid(frame, n, bitdepth, restr):
 
 def frame_intra_lookahead(luma_plane, bitdepth, restr, sizes=SIZES):
     """Returns {n: costs[bh, bw, 67] int32} open-loop SATD maps for the
-    whole picture, one device call per size."""
+    whole picture, one device call per size.
+
+    With a mesh installed (engine.set_mesh), every size's block batch is
+    sharded over the mesh — the encode-side scale-out axis — with
+    bit-identical cost maps, so sharded and unsharded encodes produce
+    byte-identical bitstreams (tests/test_sharding.py)."""
     import jax.numpy as jnp
+    from ..engine import get_mesh
     from . import analysis as an
     frame = np.ascontiguousarray(luma_plane, dtype=np.int32)
     h, w = frame.shape
+    mesh = get_mesh()
     maps = {}
     for n in sizes:
         if h < n or w < n or h % n or w % n:
             continue
         orig, top, left = _extract_grid(frame, n, bitdepth, restr)
-        fn = an.make_intra_satd_fn(n, bitdepth)
-        costs = np.asarray(fn(jnp.asarray(orig), jnp.asarray(top),
-                              jnp.asarray(left)))
+        if mesh is not None:
+            from ..parallel.mesh import (make_sharded_intra_satd_fn,
+                                         shard_count)
+            shards = shard_count(mesh)
+            b = orig.shape[0]
+            pad = (-b) % shards
+            if pad:
+                orig = np.concatenate([orig, np.zeros((pad,) +
+                                       orig.shape[1:], orig.dtype)])
+                top = np.concatenate([top, np.zeros((pad,) + top.shape[1:],
+                                                    top.dtype)])
+                left = np.concatenate([left, np.zeros((pad,) +
+                                       left.shape[1:], left.dtype)])
+            fn = make_sharded_intra_satd_fn(mesh, n, bitdepth)
+            costs = np.asarray(jax.device_get(fn(orig, top, left)))[:b]
+        else:
+            fn = an.make_intra_satd_fn(n, bitdepth)
+            costs = np.asarray(fn(jnp.asarray(orig), jnp.asarray(top),
+                                  jnp.asarray(left)))
         maps[n] = costs.reshape(h // n, w // n, -1)
     return maps

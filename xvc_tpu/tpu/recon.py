@@ -24,6 +24,10 @@ path; tests pin this on every golden stream.
 import numpy as np
 
 from .. import constants as k
+
+# number of blocks the sequential host tail processed for the last
+# device-reconstructed picture (test/bench observability)
+LAST_TAIL_BLOCKS = -1
 from ..codec import inter_mc
 from ..codec import inter_mv as mv_mod
 from . import dsp
@@ -81,11 +85,18 @@ class JaxReconstructor:
         if self._can_scan_intra():
             with span("recon.intra_scan"):
                 scanned = self._device_intra_luma(resi)
+        scanned_chroma = False
+        if scanned and self._can_scan_chroma():
+            with span("recon.chroma_scan"):
+                scanned_chroma = self._device_intra_chroma(resi)
+        global LAST_TAIL_BLOCKS
+        LAST_TAIL_BLOCKS = 0
         with span("recon.sequential"):
             self._clear_all_marks()
             self._for_each_leaf(
-                lambda cu: self._sequential_leaf(cu, resi,
-                                                 skip_luma=scanned))
+                lambda cu: self._sequential_leaf(
+                    cu, resi, skip_luma=scanned,
+                    skip_chroma=scanned_chroma))
 
     # ------------------------------------------------------------------
     def _trees(self):
@@ -408,6 +419,73 @@ class JaxReconstructor:
         from ..codec.intra_search import _intra_restrictions_default
         return _intra_restrictions_default(r)
 
+    def _can_scan_chroma(self):
+        """The device chroma scan covers the 4:2:0 default toolset
+        (planar/DC/angular/DM/LM); other chroma formats keep the host
+        tail (their LM downsample filters differ)."""
+        return (self.pic.chroma_format == k.ChromaFormat.YUV420 and
+                not self.restr.disable_intra_chroma_predictor and
+                not self.restr.disable_ext2_intra_chroma_from_luma)
+
+    def _device_intra_chroma(self, resi):
+        """Reconstruct every intra chroma block (u and v) in one device
+        scan, LM prediction included; the final luma plane is already
+        device-resident from the luma scan."""
+        from . import intra_scan
+        meta_rows = []
+
+        def collect(cu):
+            if not cu.is_intra():
+                return
+            comps = self.pic.get_components(cu.cu_tree)
+            for comp in comps:
+                if comp == 0:
+                    continue
+                cx, cy = cu.pos(comp)
+                w, h = cu.size(comp)
+                has_l = cx > 0
+                has_a = cy > 0
+                sbl = cu.get_cu_size_below_left(comp) if has_l else 0
+                sar = cu.get_cu_size_above_right(comp) if has_a else 0
+                mode = cu.get_intra_mode(comp)
+                is_lm = 1 if mode == k.INTRA_MODE_LM_CHROMA else 0
+                meta_rows.append((comp - 1, cx, cy, w, h, max(mode, 0),
+                                  is_lm, int(has_l), int(has_a),
+                                  int(has_l and has_a), sbl, sar, 1))
+
+        self._clear_all_marks()
+        self._for_each_leaf(collect)
+        if not meta_rows:
+            return True
+        import jax.numpy as jnp
+        n = len(meta_rows)
+        np2 = dsp.pad_pow2(n)
+        meta = np.zeros((np2, intra_scan.CMETA_COLS), np.int32)
+        meta[:n] = meta_rows
+        u = intra_scan.plane_pad(self.rec.plane_view(1))
+        v = intra_scan.plane_pad(self.rec.plane_view(2))
+        planes = np.stack([u, v])
+        ru = intra_scan.plane_pad(resi[1], dtype=np.int32)
+        rv = intra_scan.plane_pad(resi[2], dtype=np.int32)
+        rst = np.stack([ru, rv])
+        # the luma scan left the padded final luma on device
+        luma_dev = getattr(self, "_luma_scan_out", None)
+        if luma_dev is None:
+            luma_dev = jnp.asarray(
+                intra_scan.plane_pad(self.rec.plane_view(0)))
+        fn = intra_scan.make_intra_chroma_scan(
+            planes.shape[1], planes.shape[2],
+            int(luma_dev.shape[0]), int(luma_dev.shape[1]), self.bitdepth)
+        out_dev = fn(jnp.asarray(planes), jnp.asarray(rst), luma_dev,
+                     jnp.asarray(meta))
+        pt = intra_scan.PAD_TL
+        out = np.asarray(out_dev)
+        for comp in (1, 2):
+            vis = self.rec.plane_view(comp)
+            vis[:] = out[comp - 1, pt:pt + vis.shape[0],
+                         pt:pt + vis.shape[1]]
+        return True
+
     def _device_intra_luma(self, resi):
         """Reconstruct every intra luma block of the picture in ONE
         device dispatch (lax.scan over leaves in decode order); see
@@ -454,11 +532,14 @@ class JaxReconstructor:
         vis_dev = out_dev[pt:pt + vis.shape[0], pt:pt + vis.shape[1]]
         vis[:] = np.asarray(vis_dev)
         # the final pre-deblock luma is already on device: let the
-        # deblock stage consume it instead of re-uploading
+        # deblock stage consume it instead of re-uploading; the chroma
+        # scan reads the padded version for LM
         self.rec._dev_pre_deblock = vis_dev
+        self._luma_scan_out = out_dev
         return True
 
-    def _sequential_leaf(self, cu, resi, skip_luma=False):
+    def _sequential_leaf(self, cu, resi, skip_luma=False,
+                         skip_chroma=False):
         if not (cu.is_intra() or (cu.is_inter() and cu.use_lic)):
             return
         dec = self.dec
@@ -467,6 +548,10 @@ class JaxReconstructor:
         for comp in self.pic.get_components(cu.cu_tree):
             if skip_luma and comp == 0:
                 continue  # luma handled by the device intra scan
+            if skip_chroma and comp != 0 and cu.is_intra():
+                continue  # chroma handled by the device chroma scan
+            global LAST_TAIL_BLOCKS
+            LAST_TAIL_BLOCKS += 1
             cx, cy = cu.pos(comp)
             w, h = cu.size(comp)
             if cu.is_intra():
