@@ -99,7 +99,7 @@ print("SATD-OK")
 """
 
 
-def _run_on_tpu(code, timeout=560, extra_env=None):
+def _run_on_tpu(code, timeout=900, extra_env=None):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env["JAX_PLATFORMS"] = os.environ.get("XVC_TPU_PLATFORM", "axon,tpu")
@@ -124,7 +124,8 @@ def test_tpu_dequant_itx_exact_on_device():
 @pytest.mark.tpu
 @pytest.mark.slow
 def test_tpu_full_decode_bit_exact_on_device():
-    out = _run_on_tpu(_DECODE, extra_env={"XVC_DSP": "jax"})
+    out = _run_on_tpu(_DECODE, timeout=1500,
+                      extra_env={"XVC_DSP": "jax"})
     assert "DECODE-OK" in out
 
 

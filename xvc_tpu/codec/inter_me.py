@@ -845,6 +845,21 @@ class InterSearch(inter_pred.InterPredictor):
                 check_cost(bx + r, by, r, (_RIGHT,))
                 check_cost(bx, by + r, r, (_DOWN,))
 
+        # XVC_ME=jax: the fullpel SAD sweeps run as batched device
+        # dispatches; the TZ decision logic replays on the host against
+        # the returned SAD table (byte-identical bitstreams)
+        from ..engine import use_jax_me
+        sad_table = None
+        if use_jax_me():
+            from ..ops import metrics as met
+            if metric.type in (met.MetricType.SAD, met.MetricType.SAD_FAST):
+                from ..tpu.me import DeviceSadTable
+                sad_table = DeviceSadTable(self, cu, metric, ref_pic,
+                                           orig_buffer)
+
+                def dist_fullpel(mv_x, mv_y):  # noqa: F811
+                    return sad_table.dist(qp, mv_x, mv_y)
+
         fullsearch_min, fullsearch_max = mv_min, mv_max
         mvp_clip = mv_mod.clip_mv(cu, ref_pic, mvp)
         check_cost_best(mvp_clip[0] >> 4, mvp_clip[1] >> 4)
@@ -865,6 +880,10 @@ class InterSearch(inter_pred.InterPredictor):
                     cu, ref_pic, best_subpel, search_range)
 
         mv_base = st["best"]
+        if sad_table is not None:
+            from ..tpu.me import tz_initial_candidates
+            sad_table.prefetch(qp, tz_initial_candidates(mv_base,
+                                                         search_range))
         rounds_with_no_match = 0
         rng = 1
         while rng <= search_range:
@@ -883,6 +902,13 @@ class InterSearch(inter_pred.InterPredictor):
         if st["last_range"] > FULL_SEARCH_GRANULARITY:
             st["last_range"] = FULL_SEARCH_GRANULARITY
             step = FULL_SEARCH_GRANULARITY
+            if sad_table is not None:
+                grid = [(x, y)
+                        for y in range(fullsearch_min[1],
+                                       fullsearch_max[1] + 1, step)
+                        for x in range(fullsearch_min[0],
+                                       fullsearch_max[0] + 1, step)]
+                sad_table.prefetch(qp, grid)
             for y in range(fullsearch_min[1], fullsearch_max[1] + 1, step):
                 for x in range(fullsearch_min[0], fullsearch_max[0] + 1,
                                step):
@@ -890,6 +916,10 @@ class InterSearch(inter_pred.InterPredictor):
 
         while st["last_range"] > 0:
             mv_start = st["best"]
+            if sad_table is not None:
+                from ..tpu.me import tz_initial_candidates
+                sad_table.prefetch(qp, tz_initial_candidates(mv_start,
+                                                             search_range))
             st["last_range"] = 0
             rng = 1
             while rng <= search_range:

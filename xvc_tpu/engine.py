@@ -50,3 +50,10 @@ def use_native_pic_decode():
         return False
     from .native import pic as native_pic
     return native_pic.available()
+
+
+def use_jax_me():
+    """XVC_ME=jax batches the TZ fullpel-SAD sweeps as device dispatches
+    (xvc_tpu/tpu/me.py) on the Python encoder path — byte-identical
+    bitstreams; the candidate axis is the encode-side scale-out axis."""
+    return os.environ.get("XVC_ME", "").lower() == "jax"

@@ -108,9 +108,9 @@ def usable_for(pic_data, settings):
         return False
     if settings.tpu_intra_lookahead:
         return False
-    from ..engine import use_jax_intra_prepass
-    if use_jax_intra_prepass():
-        return False
+    from ..engine import use_jax_intra_prepass, use_jax_me
+    if use_jax_intra_prepass() or use_jax_me():
+        return False  # keep the device encoder paths exercised
     return True
 
 
