@@ -144,7 +144,7 @@ def our_encode_timed(yuv, out, w, h, n_frames, speed_mode=2):
         "from xvc_tpu import api\n"
         "raw = open(%r,'rb').read()\n"
         "p = api.EncoderParameters(width=%d, height=%d, qp=32,\n"
-        "    input_bitdepth=8, internal_bitdepth=8, checksum_mode=1,\n"
+        "    input_bitdepth=8, internal_bitdepth=8,\n"
         "    num_ref_pics=0, sub_gop_length=1, speed_mode=%d)\n"
         "enc = api.EncoderSession(p)\n"
         "fs = %d * %d * 3 // 2\n"

@@ -12,7 +12,6 @@ import os
 import numpy as np
 
 from .. import constants as k
-from . import LIB
 from .pic import (XvcnRefPic as _XvcnRefPic, _fam_arrays, _plane_base,
                   _restr_vec, _tx_tables, mvfield_shape)
 
@@ -94,6 +93,7 @@ class XvcnEncPicParams(c.Structure):
 
 
 def available():
+    from . import LIB
     return (LIB is not None and
             hasattr(LIB, "xvcn_encode_picture_intra") and
             os.environ.get("XVC_ENC_NATIVE", "1") != "0")
@@ -230,6 +230,7 @@ def encode_picture(pic_encoder, segment, settings, base_qp):
             else:
                 rp.mvfield = 0
                 rp.mf_stride = 0
+    from . import LIB
     status = LIB.xvcn_encode_picture_intra(c.byref(p))
     del keep_alive
     if status != 0:

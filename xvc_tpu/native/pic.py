@@ -17,7 +17,7 @@ import numpy as np
 
 from .. import constants as k
 from ..restrictions import ALL_FLAGS
-from . import LIB, family_offsets
+from . import family_offsets
 from ..cabac.contexts import FAMILIES, OFFSETS
 
 
@@ -138,6 +138,7 @@ def _fam_arrays():
 
 
 def available():
+    from . import LIB
     return LIB is not None and hasattr(LIB, "xvcn_decode_picture")
 
 
@@ -234,6 +235,7 @@ def decode_picture(pic_decoder, segment, bit_reader, qp):
                 rp.mvfield = 0
                 rp.mf_stride = 0
 
+    from . import LIB
     status = LIB.xvcn_decode_picture(c.byref(p))
     del keep_alive
     from ..profiling import add_span_time

@@ -2628,19 +2628,19 @@ XVCN_API void xvcn_mc_unipred(
   }
   int half = taps / 2 - 1;
   int shift1 = kMcFilterPrecision - (kMcInternalPrecision - bitdepth);
-  int64_t offset1 = shift1 >= 0 ? -((int64_t)kMcInternalOffset << shift1) : 0;
+  int32_t offset1 = shift1 >= 0 ? -(kMcInternalOffset << shift1) : 0;
 
   if (frac_y == 0) {
     const int32_t* s = plane + (int64_t)y0 * stride + x0 - half;
     if (mode == 0) {
       int shift = kMcFilterPrecision;
-      int64_t offset = 1ll << (shift - 1);
+      int32_t offset = 1 << (shift - 1);
       for (int i = 0; i < h; i++)
         for (int j = 0; j < w; j++) {
-          int64_t sum = 0;
+          int32_t sum = 0;
           for (int t2 = 0; t2 < taps; t2++)
-            sum += (int64_t)fx[t2] * s[i * stride + j + t2];
-          int64_t v = (sum + offset) >> shift;
+            sum += fx[t2] * s[i * stride + j + t2];
+          int32_t v = (sum + offset) >> shift;
           if (v < 0) v = 0;
           if (v > max_val) v = max_val;
           out[i * w + j] = (int32_t)v;
@@ -2648,9 +2648,9 @@ XVCN_API void xvcn_mc_unipred(
     } else {
       for (int i = 0; i < h; i++)
         for (int j = 0; j < w; j++) {
-          int64_t sum = 0;
+          int32_t sum = 0;
           for (int t2 = 0; t2 < taps; t2++)
-            sum += (int64_t)fx[t2] * s[i * stride + j + t2];
+            sum += fx[t2] * s[i * stride + j + t2];
           out[i * w + j] = (int16_t)((sum + offset1) >> shift1);
         }
     }
@@ -2660,12 +2660,12 @@ XVCN_API void xvcn_mc_unipred(
     const int32_t* s = plane + (int64_t)(y0 - half) * stride + x0;
     if (mode == 0) {
       int shift = kMcFilterPrecision;
-      int64_t offset = 1ll << (shift - 1);
+      int32_t offset = 1 << (shift - 1);
       for (int i = 0; i < h; i++)
         for (int j = 0; j < w; j++) {
-          int64_t sum = 0;
+          int32_t sum = 0;
           for (int t2 = 0; t2 < taps; t2++)
-            sum += (int64_t)fy[t2] * s[(i + t2) * stride + j];
+            sum += fy[t2] * s[(i + t2) * stride + j];
           // reference casts to int16 before the final clip
           int v = (int16_t)((sum + offset) >> shift);
           if (v < 0) v = 0;
@@ -2675,9 +2675,9 @@ XVCN_API void xvcn_mc_unipred(
     } else {
       for (int i = 0; i < h; i++)
         for (int j = 0; j < w; j++) {
-          int64_t sum = 0;
+          int32_t sum = 0;
           for (int t2 = 0; t2 < taps; t2++)
-            sum += (int64_t)fy[t2] * s[(i + t2) * stride + j];
+            sum += fy[t2] * s[(i + t2) * stride + j];
           out[i * w + j] = (int16_t)((sum + offset1) >> shift1);
         }
     }
@@ -2689,10 +2689,10 @@ XVCN_API void xvcn_mc_unipred(
   int th = h + taps - 1;
   for (int i = 0; i < th; i++)
     for (int j = 0; j < w; j++) {
-      int64_t sum = 0;
+      int32_t sum = 0;
       for (int t2 = 0; t2 < taps; t2++)
-        sum += (int64_t)fx[t2] * s[i * stride + j + t2];
-      int64_t v;
+        sum += fx[t2] * s[i * stride + j + t2];
+      int32_t v;
       if (shift1 >= 0)
         v = (sum + offset1) >> shift1;
       else
@@ -2701,13 +2701,13 @@ XVCN_API void xvcn_mc_unipred(
     }
   if (mode == 0) {
     int shift2 = kMcFilterPrecision + (kMcInternalPrecision - bitdepth);
-    int64_t offset2 = ((int64_t)kMcInternalOffset << kMcFilterPrecision) +
-                      (1ll << (shift2 - 1));
+    int32_t offset2 = (kMcInternalOffset << kMcFilterPrecision) +
+                      (1 << (shift2 - 1));
     for (int i = 0; i < h; i++)
       for (int j = 0; j < w; j++) {
-        int64_t sum = 0;
+        int32_t sum = 0;
         for (int t2 = 0; t2 < taps; t2++)
-          sum += (int64_t)fy[t2] * tmp[(i + t2) * w + j];
+          sum += fy[t2] * tmp[(i + t2) * w + j];
         int v = (int16_t)((sum + offset2) >> shift2);
         if (v < 0) v = 0;
         if (v > max_val) v = max_val;
@@ -2716,9 +2716,9 @@ XVCN_API void xvcn_mc_unipred(
   } else {
     for (int i = 0; i < h; i++)
       for (int j = 0; j < w; j++) {
-        int64_t sum = 0;
+        int32_t sum = 0;
         for (int t2 = 0; t2 < taps; t2++)
-          sum += (int64_t)fy[t2] * tmp[(i + t2) * w + j];
+          sum += fy[t2] * tmp[(i + t2) * w + j];
         out[i * w + j] = (int16_t)(sum >> kMcFilterPrecision);
       }
   }
@@ -2728,8 +2728,8 @@ XVCN_API void xvcn_mc_unipred(
 // Separable integer transforms in GEMM form (the matrices are supplied
 // by Python from the generated closed-form tables; behavioral twin of
 // xvc_tpu/ops/transform.py, ref: src/xvc_common_lib/transform.cc).
-// All sums fit 32 bits (|m| <= 2^8, |coeff| <= 2^15, <=64 terms) but we
-// accumulate in 64 bits to mirror the Python/NumPy int64 semantics.
+// All sums fit 32 bits (|m| <= 2^8, |coeff| <= 2^15, <=32 zero-out
+// terms), so the GEMMs accumulate in int32 — exact and vectorizable.
 // ---------------------------------------------------------------------------
 
 static inline int32_t xvcn_clip16i(int64_t v) {
@@ -2740,29 +2740,65 @@ static inline int32_t xvcn_clip16i(int64_t v) {
 
 // inverse: out = clip16((clip16((M1[:in1]^T C[:in1,:c1] + a1) >> s1)
 //                        [:, :in2] M2[:in2] + a2) >> s2)
+// fixed-size variant: constant trip counts let the compiler fully
+// vectorize the tiny blocks that dominate intra pictures
+template <int H, int W>
+static void xvcn_inv_tx_fixed(const int32_t* coeff, const int32_t* m1,
+                              const int32_t* m2, int shift1, int shift2,
+                              int32_t* out) {
+  int32_t a1 = 1 << (shift1 - 1);
+  int32_t a2 = 1 << (shift2 - 1);
+  int32_t temp[H * W];
+  for (int i = 0; i < H; i++)
+    for (int j = 0; j < W; j++) {
+      int32_t sum = 0;
+      for (int r = 0; r < H; r++)
+        sum += m1[r * H + i] * coeff[r * W + j];
+      temp[i * W + j] = xvcn_clip16i((sum + a1) >> shift1);
+    }
+  for (int i = 0; i < H; i++)
+    for (int j = 0; j < W; j++) {
+      int32_t sum = 0;
+      for (int r = 0; r < W; r++)
+        sum += temp[i * W + r] * m2[r * W + j];
+      out[i * W + j] = xvcn_clip16i((sum + a2) >> shift2);
+    }
+}
+
 XVCN_API void xvcn_inv_transform(
     const int32_t* coeff, int height, int width,
     const int32_t* m1, const int32_t* m2,
     int shift1, int shift2, int zo_min, int32_t* out) {
+  if (height < zo_min && width < zo_min) {  // no zero-out in play
+    if (height == 4 && width == 4)
+      return xvcn_inv_tx_fixed<4, 4>(coeff, m1, m2, shift1, shift2, out);
+    if (height == 8 && width == 8)
+      return xvcn_inv_tx_fixed<8, 8>(coeff, m1, m2, shift1, shift2, out);
+    if (height == 16 && width == 16)
+      return xvcn_inv_tx_fixed<16, 16>(coeff, m1, m2, shift1, shift2, out);
+  }
   int in1 = height < zo_min ? height : zo_min;
   int cols1 = width < zo_min ? width : zo_min;
   int in2 = width < zo_min ? width : zo_min;
-  int64_t a1 = (int64_t)1 << (shift1 - 1);
-  int64_t a2 = (int64_t)1 << (shift2 - 1);
+  int32_t a1 = 1 << (shift1 - 1);
+  int32_t a2 = 1 << (shift2 - 1);
+  // int32 accumulation is exact: <= 32 taps (zero-out) of
+  // (8-bit basis) x (clip16 operand) stays under 2^28 + rounding
   int32_t temp[64 * 64];
   for (int i = 0; i < height; i++) {
+    const int32_t* c0 = coeff;
     for (int j = 0; j < cols1; j++) {
-      int64_t sum = 0;
+      int32_t sum = 0;
       for (int r = 0; r < in1; r++)
-        sum += (int64_t)m1[r * height + i] * coeff[r * width + j];
+        sum += m1[r * height + i] * c0[r * width + j];
       temp[i * 64 + j] = xvcn_clip16i((sum + a1) >> shift1);
     }
   }
   for (int i = 0; i < height; i++) {
     for (int j = 0; j < width; j++) {
-      int64_t sum = 0;
+      int32_t sum = 0;
       for (int r = 0; r < in2; r++)
-        sum += (int64_t)temp[i * 64 + r] * m2[r * width + j];
+        sum += temp[i * 64 + r] * m2[r * width + j];
       out[i * width + j] = xvcn_clip16i((sum + a2) >> shift2);
     }
   }
