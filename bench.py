@@ -136,16 +136,17 @@ def our_decode_timed(bitstream_path, expect_path, dsp, profile=False,
     raise RuntimeError("decode bench failed (%s): %s" % (dsp, last_err))
 
 
-def our_encode_timed(yuv, out, w, h, n_frames, speed_mode=2):
-    """All-intra encode in a fresh process; returns seconds of the
-    encode loop only (interpreter/import cost excluded)."""
+def our_encode_timed(yuv, out, w, h, n_frames, speed_mode=2,
+                     num_ref_pics=0, sub_gop_length=1):
+    """Encode in a fresh process; returns seconds of the encode loop
+    only (interpreter/import cost excluded)."""
     code = (
         "import time\n"
         "from xvc_tpu import api\n"
         "raw = open(%r,'rb').read()\n"
         "p = api.EncoderParameters(width=%d, height=%d, qp=32,\n"
         "    input_bitdepth=8, internal_bitdepth=8,\n"
-        "    num_ref_pics=0, sub_gop_length=1, speed_mode=%d)\n"
+        "    num_ref_pics=%d, sub_gop_length=%d, speed_mode=%d)\n"
         "enc = api.EncoderSession(p)\n"
         "fs = %d * %d * 3 // 2\n"
         "t0 = time.perf_counter()\n"
@@ -158,7 +159,8 @@ def our_encode_timed(yuv, out, w, h, n_frames, speed_mode=2):
         "                for n in nals)\n"
         "open(%r,'wb').write(data)\n"
         "print('T=%%.4f' %% t)\n"
-        % (yuv, w, h, speed_mode, w, h, n_frames, out))
+        % (yuv, w, h, num_ref_pics, sub_gop_length, speed_mode,
+           w, h, n_frames, out))
     env = dict(os.environ, PYTHONPATH=PYPATH)
     r = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
                        capture_output=True, text=True, timeout=1800,
@@ -321,6 +323,26 @@ def main():
         round(352 * 288 * 4 / t / 1e6, 4)
     extra["encode_cif_fast_byte_identical"] = (
         open(cif_ref_enc, "rb").read() == open(cif_ours_enc, "rb").read())
+    # 720p low-delay fast: the flagship INTER encode config (TZ/subpel
+    # ME + merge RDO in the native encoder); 4 frames = 1 intra + 3 P.
+    hd4 = os.path.join(WORK, "hd4.yuv")
+    with open(hd, "rb") as f:
+        data = f.read(1280 * 720 * 3 // 2 * 4)
+    with open(hd4, "wb") as f:
+        f.write(data)
+    hd_ref_enc = os.path.join(WORK, "hd_ref_enc.xvc")
+    t = ref_encode(enc, hd4, hd_ref_enc, 1280, 720,
+                   ["-qp", "32", "-num-ref-pics", "1",
+                    "-sub-gop-length", "1", "-speed-mode", "2"])
+    extra["ref_encode_720p_ld_fast_mpixs"] = \
+        round(1280 * 720 * 4 / t / 1e6, 4)
+    hd_ours_enc = os.path.join(WORK, "hd_ours_enc.xvc")
+    t = our_encode_timed(hd4, hd_ours_enc, 1280, 720, 4, speed_mode=2,
+                         num_ref_pics=1, sub_gop_length=1)
+    extra["host_encode_720p_ld_fast_mpixs"] = \
+        round(1280 * 720 * 4 / t / 1e6, 4)
+    extra["encode_720p_ld_fast_byte_identical"] = (
+        open(hd_ref_enc, "rb").read() == open(hd_ours_enc, "rb").read())
 
     # ---- stand-alone TPU kernel (separate section, not comparable) ----
     _log("kernel throughput")

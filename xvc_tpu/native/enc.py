@@ -1,9 +1,12 @@
-"""Native intra-picture encode driver.
+"""Native picture encode driver (all picture types).
 
-One call to xvcn_encode_picture_intra (xvcn_enc.inc) runs the whole CTU
-RDO loop — mode search, transform RD, CABAC bit counting and the final
-entropy write — in C++ and returns the CABAC payload bytes.  The Python
-CU path remains the validation twin (XVC_NATIVE=0 / XVC_ENC_NATIVE=0);
+One call to xvcn_encode_picture_intra (xvcn_enc.inc + xvcn_enc_inter.inc;
+the symbol name is historical — it handles intra AND inter pictures) runs
+the whole CTU RDO loop — intra mode search, motion estimation, merge RD,
+transform RD, CABAC bit counting and the final entropy write — in C++
+and returns the CABAC payload bytes.  Cross-picture TMVP state rides the
+same per-4x4 motion-field export as the native decoder.  The Python CU
+path remains the validation twin (XVC_NATIVE=0 / XVC_ENC_NATIVE=0);
 bitstreams are byte-identical (tests/test_encode_golden.py).
 """
 import ctypes as c
