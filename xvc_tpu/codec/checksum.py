@@ -17,10 +17,13 @@ def hash_picture(rec_pic, method, mode):
 
 
 def _plane_bytes(rec_pic, comp):
+    """One strided cast pass; the result supports the buffer protocol so
+    hashlib can consume it without a further bytes copy."""
     view = rec_pic.plane_view(comp)
-    if rec_pic.bitdepth == 8:
-        return np.ascontiguousarray(view).astype(np.uint8).tobytes()
-    return np.ascontiguousarray(view).astype("<u2").tobytes()
+    dtype = np.uint8 if rec_pic.bitdepth == 8 else np.dtype("<u2")
+    buf = np.empty(view.shape, dtype)
+    np.copyto(buf, view, casting="unsafe")
+    return buf
 
 
 def _md5(rec_pic, mode):

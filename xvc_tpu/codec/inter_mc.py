@@ -153,7 +153,7 @@ def _mc_native(ctx, x0, y0, frac_x, frac_y, mode):
         mode, base, stride, x0, y0, ctx.width, ctx.height, frac_x, frac_y,
         ctx.bitdepth, 1 if ctx.comp == 0 else 0,
         0 if ctx.restr.disable_ext2_inter_high_precision_mv else 1,
-        out.ctypes.data)
+        out.ctypes.data, ctx.width)
     return out
 
 

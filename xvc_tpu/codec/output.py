@@ -30,22 +30,33 @@ def _scale_size_y(size, chroma_format, comp):
     return size if comp == 0 else size >> k.chroma_shift_y(chroma_format)
 
 
-def _plane_to_bytes(plane, src_bitdepth, out_bitdepth, dither):
-    """CopyToBytesWithShift for one plane (ref: resample.cc:304-338)."""
-    if out_bitdepth == src_bitdepth:
-        data = plane
-    elif out_bitdepth > src_bitdepth:
-        data = plane << (out_bitdepth - src_bitdepth)
-    else:
-        downshift = src_bitdepth - out_bitdepth
-        maxv = (1 << out_bitdepth) - 1
-        if dither:
-            data = _downshift_dither(plane, downshift, maxv)
-        else:
-            add = 1 << (downshift - 1)
-            data = np.minimum((plane + add) >> downshift, maxv)
+def _planes_to_bytes(planes, src_bitdepth, out_bitdepth, dither):
+    """CopyToBytesWithShift over all planes (ref: resample.cc:304-338).
+
+    One cast pass per plane directly into a single packed output buffer
+    (strided int32 views cast in place by np.copyto) — the output
+    serialization is decode's largest host-side cost after the native
+    call itself, so no intermediate plane copies."""
     dtype = np.uint8 if out_bitdepth <= 8 else np.uint16
-    return np.ascontiguousarray(data).astype(dtype).tobytes()
+    buf = np.empty(sum(p.size for p in planes), dtype)
+    off = 0
+    for plane in planes:
+        if out_bitdepth == src_bitdepth:
+            data = plane
+        elif out_bitdepth > src_bitdepth:
+            data = plane << (out_bitdepth - src_bitdepth)
+        else:
+            downshift = src_bitdepth - out_bitdepth
+            maxv = (1 << out_bitdepth) - 1
+            if dither:
+                data = _downshift_dither(plane, downshift, maxv)
+            else:
+                add = 1 << (downshift - 1)
+                data = np.minimum((plane + add) >> downshift, maxv)
+        np.copyto(buf[off:off + plane.size].reshape(plane.shape), data,
+                  casting="unsafe")
+        off += plane.size
+    return buf.tobytes()
 
 
 def _downshift_dither(view, downshift, maxv):
@@ -168,15 +179,12 @@ def convert_to(pic, fmt) -> bytes:
             return _convert_color_space(planes, fmt["width"], fmt["height"],
                                         fmt["bitdepth"],
                                         fmt.get("color_matrix", 0))
-        dtype = np.uint8 if fmt["bitdepth"] <= 8 else np.uint16
-        return b"".join(np.ascontiguousarray(p).astype(dtype).tobytes()
-                        for p in planes)
+        return _planes_to_bytes(planes, fmt["bitdepth"], fmt["bitdepth"],
+                                False)
     # Basic conversion without resolution or color space change; emits
     # only the output format's components (e.g. luma for monochrome out).
-    chunks = []
-    for c in range(k.num_components(out_chroma)):
-        view = pic.plane_view(c)[:pic.get_display_height(c),
-                                 :pic.get_display_width(c)]
-        chunks.append(_plane_to_bytes(view, pic.bitdepth, fmt["bitdepth"],
-                                      fmt.get("dither", False)))
-    return b"".join(chunks)
+    views = [pic.plane_view(c)[:pic.get_display_height(c),
+                               :pic.get_display_width(c)]
+             for c in range(k.num_components(out_chroma))]
+    return _planes_to_bytes(views, pic.bitdepth, fmt["bitdepth"],
+                            fmt.get("dither", False))

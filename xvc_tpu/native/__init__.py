@@ -215,7 +215,7 @@ def _bind(lib):
         c.c_int, c.c_int, c.c_int, c.c_void_p]
     lib.xvcn_mc_unipred.argtypes = [
         c.c_int, c.c_void_p, c.c_int64, c.c_int, c.c_int, c.c_int, c.c_int,
-        c.c_int, c.c_int, c.c_int, c.c_int, c.c_int, c.c_void_p]
+        c.c_int, c.c_int, c.c_int, c.c_int, c.c_int, c.c_void_p, c.c_int64]
     lib.xvcn_inv_transform.argtypes = [
         c.c_void_p, c.c_int, c.c_int, c.c_void_p, c.c_void_p,
         c.c_int, c.c_int, c.c_int, c.c_void_p]
@@ -252,7 +252,15 @@ LIB = None
 if os.environ.get("XVC_NATIVE", "1") != "0":
     try:
         LIB = _bind(ctypes.CDLL(_build()))
-    except Exception:  # noqa: BLE001 - fall back to the Python path
+    except Exception as _e:  # noqa: BLE001 - fall back to the Python path
+        # The Python twin is bit-identical, so a silent fallback would
+        # hide a broken native build (and a ~20x slowdown): warn loudly.
+        import warnings
+        _msg = str(_e)
+        if isinstance(_e, subprocess.CalledProcessError):
+            _msg = (_e.stderr or b"").decode(errors="replace")[-2000:]
+        warnings.warn("xvc_tpu native build unavailable, using the "
+                      "pure-Python path: %s" % _msg, RuntimeWarning)
         LIB = None
 
 

@@ -77,6 +77,10 @@ class XvcnPicParams(c.Structure):
         ("parse_ns", c.c_int64),
         ("recon_ns", c.c_int64),
         ("deblock_ns", c.c_int64),
+        ("mc_ns", c.c_int64),
+        ("intra_ns", c.c_int64),
+        ("itx_ns", c.c_int64),
+        ("coeff_ns", c.c_int64),
         ("status", c.c_int32),
         ("pad2_", c.c_int32),
     ]
@@ -240,7 +244,11 @@ def decode_picture(pic_decoder, segment, bit_reader, qp):
     del keep_alive
     from ..profiling import add_span_time
     add_span_time("decode.native.parse", p.parse_ns / 1e9)
+    add_span_time("decode.native.parse.coeff", p.coeff_ns / 1e9)
     add_span_time("decode.native.recon", p.recon_ns / 1e9)
+    add_span_time("decode.native.recon.mc", p.mc_ns / 1e9)
+    add_span_time("decode.native.recon.intra", p.intra_ns / 1e9)
+    add_span_time("decode.native.recon.itx", p.itx_ns / 1e9)
     add_span_time("decode.native.deblock", p.deblock_ns / 1e9)
     if status not in (0, 3):
         raise ValueError("corrupt bitstream (native decode status %d)"

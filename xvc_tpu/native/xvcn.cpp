@@ -2591,42 +2591,15 @@ static const int kMcInternalOffset = 1 << (kMcInternalPrecision - 1);
 
 // mode 0: final samples (clipped); mode 1: 14-bit short intermediates
 // (values equal the reference's int16 intermediates).
-XVCN_API void xvcn_mc_unipred(
+// TAPS is a compile-time constant (8 luma / 4 chroma) so the filter
+// inner loops fully unroll and vectorize across the sample axis.
+template <int TAPS>
+static void xvcn_mc_filter(
     int mode, const int32_t* plane, int64_t stride, int x0, int y0,
-    int w, int h, int frac_x, int frac_y, int bitdepth, int is_luma,
-    int high_prec, int32_t* out) {
-  const int32_t* src0 = plane + (int64_t)y0 * stride + x0;
+    int w, int h, int bitdepth, const int16_t* fx, const int16_t* fy,
+    int frac_x, int frac_y, int32_t* out, int64_t ostride) {
   int max_val = (1 << bitdepth) - 1;
-  if (frac_x == 0 && frac_y == 0) {
-    if (mode == 0) {
-      for (int i = 0; i < h; i++)
-        for (int j = 0; j < w; j++) {
-          int v = src0[i * stride + j];
-          if (v < 0) v = 0;
-          if (v > max_val) v = max_val;
-          out[i * w + j] = v;
-        }
-    } else {
-      int shift = kMcInternalPrecision - bitdepth;
-      for (int i = 0; i < h; i++)
-        for (int j = 0; j < w; j++) {
-          int16_t v = (int16_t)(src0[i * stride + j] << shift);
-          out[i * w + j] = (int16_t)(v - kMcInternalOffset);
-        }
-    }
-    return;
-  }
-  int taps = is_luma ? 8 : 4;
-  const int16_t* fx;
-  const int16_t* fy;
-  if (is_luma) {
-    fx = high_prec ? kMcLumaFilterHp[frac_x] : kMcLumaFilter[frac_x];
-    fy = high_prec ? kMcLumaFilterHp[frac_y] : kMcLumaFilter[frac_y];
-  } else {
-    fx = high_prec ? kMcChromaFilterHp[frac_x] : kMcChromaFilter[frac_x];
-    fy = high_prec ? kMcChromaFilterHp[frac_y] : kMcChromaFilter[frac_y];
-  }
-  int half = taps / 2 - 1;
+  const int half = TAPS / 2 - 1;
   int shift1 = kMcFilterPrecision - (kMcInternalPrecision - bitdepth);
   int32_t offset1 = shift1 >= 0 ? -(kMcInternalOffset << shift1) : 0;
 
@@ -2638,20 +2611,20 @@ XVCN_API void xvcn_mc_unipred(
       for (int i = 0; i < h; i++)
         for (int j = 0; j < w; j++) {
           int32_t sum = 0;
-          for (int t2 = 0; t2 < taps; t2++)
+          for (int t2 = 0; t2 < TAPS; t2++)
             sum += fx[t2] * s[i * stride + j + t2];
           int32_t v = (sum + offset) >> shift;
           if (v < 0) v = 0;
           if (v > max_val) v = max_val;
-          out[i * w + j] = (int32_t)v;
+          out[i * ostride + j] = (int32_t)v;
         }
     } else {
       for (int i = 0; i < h; i++)
         for (int j = 0; j < w; j++) {
           int32_t sum = 0;
-          for (int t2 = 0; t2 < taps; t2++)
+          for (int t2 = 0; t2 < TAPS; t2++)
             sum += fx[t2] * s[i * stride + j + t2];
-          out[i * w + j] = (int16_t)((sum + offset1) >> shift1);
+          out[i * ostride + j] = (int16_t)((sum + offset1) >> shift1);
         }
     }
     return;
@@ -2664,21 +2637,21 @@ XVCN_API void xvcn_mc_unipred(
       for (int i = 0; i < h; i++)
         for (int j = 0; j < w; j++) {
           int32_t sum = 0;
-          for (int t2 = 0; t2 < taps; t2++)
+          for (int t2 = 0; t2 < TAPS; t2++)
             sum += fy[t2] * s[(i + t2) * stride + j];
           // reference casts to int16 before the final clip
           int v = (int16_t)((sum + offset) >> shift);
           if (v < 0) v = 0;
           if (v > max_val) v = max_val;
-          out[i * w + j] = v;
+          out[i * ostride + j] = v;
         }
     } else {
       for (int i = 0; i < h; i++)
         for (int j = 0; j < w; j++) {
           int32_t sum = 0;
-          for (int t2 = 0; t2 < taps; t2++)
+          for (int t2 = 0; t2 < TAPS; t2++)
             sum += fy[t2] * s[(i + t2) * stride + j];
-          out[i * w + j] = (int16_t)((sum + offset1) >> shift1);
+          out[i * ostride + j] = (int16_t)((sum + offset1) >> shift1);
         }
     }
     return;
@@ -2686,11 +2659,11 @@ XVCN_API void xvcn_mc_unipred(
   // two-stage: horizontal into int16 intermediates, then vertical
   static thread_local int16_t tmp[(64 + 8) * 64];
   const int32_t* s = plane + (int64_t)(y0 - half) * stride + x0 - half;
-  int th = h + taps - 1;
+  int th = h + TAPS - 1;
   for (int i = 0; i < th; i++)
     for (int j = 0; j < w; j++) {
       int32_t sum = 0;
-      for (int t2 = 0; t2 < taps; t2++)
+      for (int t2 = 0; t2 < TAPS; t2++)
         sum += fx[t2] * s[i * stride + j + t2];
       int32_t v;
       if (shift1 >= 0)
@@ -2706,21 +2679,63 @@ XVCN_API void xvcn_mc_unipred(
     for (int i = 0; i < h; i++)
       for (int j = 0; j < w; j++) {
         int32_t sum = 0;
-        for (int t2 = 0; t2 < taps; t2++)
+        for (int t2 = 0; t2 < TAPS; t2++)
           sum += fy[t2] * tmp[(i + t2) * w + j];
         int v = (int16_t)((sum + offset2) >> shift2);
         if (v < 0) v = 0;
         if (v > max_val) v = max_val;
-        out[i * w + j] = v;
+        out[i * ostride + j] = v;
       }
   } else {
     for (int i = 0; i < h; i++)
       for (int j = 0; j < w; j++) {
         int32_t sum = 0;
-        for (int t2 = 0; t2 < taps; t2++)
+        for (int t2 = 0; t2 < TAPS; t2++)
           sum += fy[t2] * tmp[(i + t2) * w + j];
-        out[i * w + j] = (int16_t)(sum >> kMcFilterPrecision);
+        out[i * ostride + j] = (int16_t)(sum >> kMcFilterPrecision);
       }
+  }
+}
+
+XVCN_API void xvcn_mc_unipred(
+    int mode, const int32_t* plane, int64_t stride, int x0, int y0,
+    int w, int h, int frac_x, int frac_y, int bitdepth, int is_luma,
+    int high_prec, int32_t* out, int64_t ostride) {
+  if (frac_x == 0 && frac_y == 0) {
+    const int32_t* src0 = plane + (int64_t)y0 * stride + x0;
+    int max_val = (1 << bitdepth) - 1;
+    if (mode == 0) {
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) {
+          int v = src0[i * stride + j];
+          if (v < 0) v = 0;
+          if (v > max_val) v = max_val;
+          out[i * ostride + j] = v;
+        }
+    } else {
+      int shift = kMcInternalPrecision - bitdepth;
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) {
+          int16_t v = (int16_t)(src0[i * stride + j] << shift);
+          out[i * ostride + j] = (int16_t)(v - kMcInternalOffset);
+        }
+    }
+    return;
+  }
+  if (is_luma) {
+    const int16_t* fx = high_prec ? kMcLumaFilterHp[frac_x]
+                                  : kMcLumaFilter[frac_x];
+    const int16_t* fy = high_prec ? kMcLumaFilterHp[frac_y]
+                                  : kMcLumaFilter[frac_y];
+    xvcn_mc_filter<8>(mode, plane, stride, x0, y0, w, h, bitdepth, fx, fy,
+                      frac_x, frac_y, out, ostride);
+  } else {
+    const int16_t* fx = high_prec ? kMcChromaFilterHp[frac_x]
+                                  : kMcChromaFilter[frac_x];
+    const int16_t* fy = high_prec ? kMcChromaFilterHp[frac_y]
+                                  : kMcChromaFilter[frac_y];
+    xvcn_mc_filter<4>(mode, plane, stride, x0, y0, w, h, bitdepth, fx, fy,
+                      frac_x, frac_y, out, ostride);
   }
 }
 
