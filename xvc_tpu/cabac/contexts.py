@@ -146,6 +146,9 @@ def _size_to_log2(s):
     return s.bit_length() - 1
 
 
+_RESET_CACHE = {}  # (qp, pic_type, alt_residual) -> initialized states
+
+
 class CabacContexts:
     """Flat context-state array + selection logic."""
 
@@ -158,6 +161,14 @@ class CabacContexts:
         q = 32 if r.disable_cabac_init_per_qp else qp_raw_luma
         s = (int(k.PicturePredictionType.BI)
              if r.disable_cabac_init_per_pic_type else int(pic_type))
+        # the init table is pure in (q, s, alt-residual flag); cache the
+        # whole state vector (the per-context Python loop costs ~0.5 ms
+        # per picture otherwise)
+        key = (q, s, bool(r.disable_ext2_cabac_alt_residual_ctx))
+        cached = _RESET_CACHE.get(key)
+        if cached is not None:
+            self.state[:] = cached
+            return
         st = self.state
 
         def init(name, values, offset=None):
@@ -209,6 +220,7 @@ class CabacContexts:
         init("transform_skip_flag", iv["transform_skip_flag"][s])
         init("transform_select_flag", iv["transform_select_flag"][s])
         init("transform_select_idx", iv["transform_select_idx"][s])
+        _RESET_CACHE[key] = st.copy()
 
     # ---- context selection (returns integer index into self.state) ----
 

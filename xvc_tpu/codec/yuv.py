@@ -39,6 +39,26 @@ class YuvPicture:
         self.pad_y = [PAD >> self.shift_y[c] if padding else 0
                       for c in range(3)]
 
+    def shadow16(self, comp):
+        """Cached int16 copy of the padded plane for native MC reads
+        (samples always fit: internal bitdepth <= 14).  Valid only once
+        the picture is fully reconstructed and padded; the decoder
+        invalidates it when the buffer is recycled for a new picture."""
+        cache = getattr(self, "_shadow16", None)
+        if cache is None:
+            cache = self._shadow16 = [None, None, None]
+        if cache[comp] is None:
+            plane = self.planes[comp]
+            buf = np.empty(plane.shape, np.int16)
+            from ..native import LIB
+            if LIB is not None and hasattr(LIB, "xvcn_to_i16"):
+                LIB.xvcn_to_i16(plane.ctypes.data, plane.size,
+                                buf.ctypes.data)
+            else:
+                np.copyto(buf, plane, casting="unsafe")
+            cache[comp] = buf
+        return cache[comp]
+
     def plane_view(self, comp):
         """(height, width) view of the visible plane area."""
         px, py = self.pad_x[comp], self.pad_y[comp]

@@ -213,6 +213,7 @@ def _bind(lib):
     lib.xvcn_intra_pred_angular.argtypes = [
         c.c_void_p, c.c_void_p, c.c_int, c.c_int, c.c_int, c.c_int,
         c.c_int, c.c_int, c.c_int, c.c_void_p]
+    lib.xvcn_to_i16.argtypes = [c.c_void_p, c.c_int64, c.c_void_p]
     lib.xvcn_mc_unipred.argtypes = [
         c.c_int, c.c_void_p, c.c_int64, c.c_int, c.c_int, c.c_int, c.c_int,
         c.c_int, c.c_int, c.c_int, c.c_int, c.c_int, c.c_void_p, c.c_int64]

@@ -12,6 +12,7 @@ by the native decoder after each picture and attached to the picture's
 PictureData; reference pictures pass their fields back in.
 """
 import ctypes as c
+import os
 
 import numpy as np
 
@@ -32,6 +33,7 @@ class XvcnRefPic(c.Structure):
         ("width", c.c_int32),
         ("height", c.c_int32),
         ("pad_", c.c_int32),
+        ("plane16", c.c_int64 * 3),
     ]
 
 
@@ -230,6 +232,15 @@ def decode_picture(pic_decoder, segment, bit_reader, qp):
                 rp.plane[comp] = base
                 rp.stride[comp] = stride
                 keep_alive.append(entry.rec_pic.planes[comp])
+                # int16 shadow: halves MC load bandwidth and enables
+                # the int16 multiply-accumulate vector forms
+                # (XVC_MC16=0 forces the int32 path)
+                if os.environ.get("XVC_MC16", "1") != "0":
+                    sh = entry.rec_pic.shadow16(comp)
+                    rp.plane16[comp] = sh.ctypes.data + 2 * (
+                        entry.rec_pic.pad_y[comp] * sh.shape[1] +
+                        entry.rec_pic.pad_x[comp])
+                    keep_alive.append(sh)
             mf = getattr(entry.pic_data, "_xvcn_mvfield", None)
             if mf is not None:
                 rp.mvfield = mf.ctypes.data

@@ -2589,13 +2589,178 @@ static const int kMcInternalPrecision = 14;
 static const int kMcFilterPrecision = 6;
 static const int kMcInternalOffset = 1 << (kMcInternalPrecision - 1);
 
+// flat int32 -> int16 convert (MC shadow planes; samples fit int16)
+XVCN_API void xvcn_to_i16(const int32_t* src, int64_t n, int16_t* dst) {
+  for (int64_t i = 0; i < n; i++) dst[i] = (int16_t)src[i];
+}
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+// ---- int16 MC filter kernels ----
+// The scalar loops widen int16 samples to int32 before multiplying, so
+// the compiler emits 32-bit multiplies; these kernels keep the samples
+// as int16 pairs and use the widening multiply-accumulate (pmaddwd),
+// doubling the vector throughput — the same structure as the
+// reference's SIMD filters (ref: src/xvc_common_lib/simd/
+// inter_prediction_simd.cc).  Bit-exact: every sum is the same int32.
+
+// 8 int32 sums for outputs j..j+7 of a TAPS-tap horizontal filter.
+template <int TAPS>
+static inline __m256i mc_h_sums8(const int16_t* s, const __m128i* fp) {
+  __m128i e = _mm_setzero_si128(), o = _mm_setzero_si128();
+  for (int p = 0; p < TAPS / 2; p++) {
+    e = _mm_add_epi32(e, _mm_madd_epi16(
+        _mm_loadu_si128((const __m128i*)(s + 2 * p)), fp[p]));
+    o = _mm_add_epi32(o, _mm_madd_epi16(
+        _mm_loadu_si128((const __m128i*)(s + 2 * p + 1)), fp[p]));
+  }
+  return _mm256_set_m128i(_mm_unpackhi_epi32(e, o),
+                          _mm_unpacklo_epi32(e, o));
+}
+
+// 8 int32 sums for outputs (·, j..j+7) of a TAPS-tap vertical filter.
+template <int TAPS>
+static inline __m256i mc_v_sums8(const int16_t* s, int64_t stride,
+                                 const __m128i* fp) {
+  __m128i lo = _mm_setzero_si128(), hi = _mm_setzero_si128();
+  for (int p = 0; p < TAPS / 2; p++) {
+    __m128i a = _mm_loadu_si128((const __m128i*)(s + (2 * p) * stride));
+    __m128i b = _mm_loadu_si128(
+        (const __m128i*)(s + (2 * p + 1) * stride));
+    lo = _mm_add_epi32(lo, _mm_madd_epi16(_mm_unpacklo_epi16(a, b),
+                                          fp[p]));
+    hi = _mm_add_epi32(hi, _mm_madd_epi16(_mm_unpackhi_epi16(a, b),
+                                          fp[p]));
+  }
+  return _mm256_set_m128i(hi, lo);
+}
+
+static inline __m256i mc_trunc16(__m256i v) {  // (int16_t) cast per lane
+  return _mm256_srai_epi32(_mm256_slli_epi32(v, 16), 16);
+}
+
+static inline void mc_pack_pairs(const int16_t* f, int pairs,
+                                 __m128i* fp) {
+  for (int p = 0; p < pairs; p++)
+    fp[p] = _mm_set1_epi32((int32_t)(uint16_t)f[2 * p] |
+                           ((int32_t)f[2 * p + 1] << 16));
+}
+
+// w must be a multiple of 8; shift1 must be >= 0 (bitdepth >= 8).
+template <int TAPS>
+static void xvcn_mc_filter_i16(
+    int mode, const int16_t* plane, int64_t stride, int x0, int y0,
+    int w, int h, int bitdepth, const int16_t* fxs, const int16_t* fys,
+    int frac_x, int frac_y, int32_t* out, int64_t ostride) {
+  const int max_val = (1 << bitdepth) - 1;
+  const int half = TAPS / 2 - 1;
+  const int shift1 = kMcFilterPrecision - (kMcInternalPrecision - bitdepth);
+  const int32_t offset1 = -(kMcInternalOffset << shift1);
+  const __m256i vzero = _mm256_setzero_si256();
+  const __m256i vmax = _mm256_set1_epi32(max_val);
+  __m128i fx[4], fy[4];
+  mc_pack_pairs(fxs, TAPS / 2, fx);
+  mc_pack_pairs(fys, TAPS / 2, fy);
+
+  if (frac_y == 0) {
+    const int16_t* s = plane + (int64_t)y0 * stride + x0 - half;
+    if (mode == 0) {
+      const __m256i voff = _mm256_set1_epi32(1 << (kMcFilterPrecision - 1));
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j += 8) {
+          __m256i v = mc_h_sums8<TAPS>(s + i * stride + j, fx);
+          v = _mm256_srai_epi32(_mm256_add_epi32(v, voff),
+                                kMcFilterPrecision);
+          v = _mm256_min_epi32(_mm256_max_epi32(v, vzero), vmax);
+          _mm256_storeu_si256((__m256i*)(out + i * ostride + j), v);
+        }
+    } else {
+      const __m256i voff = _mm256_set1_epi32(offset1);
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j += 8) {
+          __m256i v = mc_h_sums8<TAPS>(s + i * stride + j, fx);
+          v = _mm256_srai_epi32(_mm256_add_epi32(v, voff), shift1);
+          _mm256_storeu_si256((__m256i*)(out + i * ostride + j),
+                              mc_trunc16(v));
+        }
+    }
+    return;
+  }
+  if (frac_x == 0) {
+    const int16_t* s = plane + (int64_t)(y0 - half) * stride + x0;
+    if (mode == 0) {
+      const __m256i voff = _mm256_set1_epi32(1 << (kMcFilterPrecision - 1));
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j += 8) {
+          __m256i v = mc_v_sums8<TAPS>(s + i * stride + j, stride, fy);
+          // reference casts to int16 before the final clip
+          v = mc_trunc16(_mm256_srai_epi32(_mm256_add_epi32(v, voff),
+                                           kMcFilterPrecision));
+          v = _mm256_min_epi32(_mm256_max_epi32(v, vzero), vmax);
+          _mm256_storeu_si256((__m256i*)(out + i * ostride + j), v);
+        }
+    } else {
+      const __m256i voff = _mm256_set1_epi32(offset1);
+      for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j += 8) {
+          __m256i v = mc_v_sums8<TAPS>(s + i * stride + j, stride, fy);
+          v = _mm256_srai_epi32(_mm256_add_epi32(v, voff), shift1);
+          _mm256_storeu_si256((__m256i*)(out + i * ostride + j),
+                              mc_trunc16(v));
+        }
+    }
+    return;
+  }
+  // two-stage: horizontal into int16 intermediates, then vertical
+  static thread_local int16_t tmp[(64 + 8) * 64];
+  const int16_t* s = plane + (int64_t)(y0 - half) * stride + x0 - half;
+  int th = h + TAPS - 1;
+  {
+    const __m256i voff = _mm256_set1_epi32(offset1);
+    for (int i = 0; i < th; i++)
+      for (int j = 0; j < w; j += 8) {
+        __m256i v = mc_h_sums8<TAPS>(s + i * stride + j, fx);
+        v = _mm256_srai_epi32(_mm256_add_epi32(v, voff), shift1);
+        v = mc_trunc16(v);
+        __m128i p16 = _mm_packs_epi32(_mm256_castsi256_si128(v),
+                                      _mm256_extracti128_si256(v, 1));
+        _mm_storeu_si128((__m128i*)(tmp + i * w + j), p16);
+      }
+  }
+  if (mode == 0) {
+    int shift2 = kMcFilterPrecision + (kMcInternalPrecision - bitdepth);
+    const __m256i voff = _mm256_set1_epi32(
+        (kMcInternalOffset << kMcFilterPrecision) + (1 << (shift2 - 1)));
+    for (int i = 0; i < h; i++)
+      for (int j = 0; j < w; j += 8) {
+        __m256i v = mc_v_sums8<TAPS>(tmp + i * w + j, w, fy);
+        v = mc_trunc16(_mm256_srai_epi32(_mm256_add_epi32(v, voff),
+                                         shift2));
+        v = _mm256_min_epi32(_mm256_max_epi32(v, vzero), vmax);
+        _mm256_storeu_si256((__m256i*)(out + i * ostride + j), v);
+      }
+  } else {
+    for (int i = 0; i < h; i++)
+      for (int j = 0; j < w; j += 8) {
+        __m256i v = mc_v_sums8<TAPS>(tmp + i * w + j, w, fy);
+        v = mc_trunc16(_mm256_srai_epi32(v, kMcFilterPrecision));
+        _mm256_storeu_si256((__m256i*)(out + i * ostride + j), v);
+      }
+  }
+}
+#endif  // __AVX2__
+
 // mode 0: final samples (clipped); mode 1: 14-bit short intermediates
 // (values equal the reference's int16 intermediates).
 // TAPS is a compile-time constant (8 luma / 4 chroma) so the filter
-// inner loops fully unroll and vectorize across the sample axis.
-template <int TAPS>
+// inner loops fully unroll and vectorize; S is the source sample type —
+// int16 shadow planes halve the load bandwidth AND let the compiler use
+// the widening int16 multiply-accumulate (pmaddwd-class) forms, the
+// same reason the reference keeps its frame store in int16
+// (ref: src/xvc_common_lib/sample_buffer.h + simd/inter_prediction_simd.cc).
+template <typename S, int TAPS>
 static void xvcn_mc_filter(
-    int mode, const int32_t* plane, int64_t stride, int x0, int y0,
+    int mode, const S* plane, int64_t stride, int x0, int y0,
     int w, int h, int bitdepth, const int16_t* fx, const int16_t* fy,
     int frac_x, int frac_y, int32_t* out, int64_t ostride) {
   int max_val = (1 << bitdepth) - 1;
@@ -2604,7 +2769,7 @@ static void xvcn_mc_filter(
   int32_t offset1 = shift1 >= 0 ? -(kMcInternalOffset << shift1) : 0;
 
   if (frac_y == 0) {
-    const int32_t* s = plane + (int64_t)y0 * stride + x0 - half;
+    const S* s = plane + (int64_t)y0 * stride + x0 - half;
     if (mode == 0) {
       int shift = kMcFilterPrecision;
       int32_t offset = 1 << (shift - 1);
@@ -2612,7 +2777,7 @@ static void xvcn_mc_filter(
         for (int j = 0; j < w; j++) {
           int32_t sum = 0;
           for (int t2 = 0; t2 < TAPS; t2++)
-            sum += fx[t2] * s[i * stride + j + t2];
+            sum += fx[t2] * (int32_t)s[i * stride + j + t2];
           int32_t v = (sum + offset) >> shift;
           if (v < 0) v = 0;
           if (v > max_val) v = max_val;
@@ -2623,14 +2788,14 @@ static void xvcn_mc_filter(
         for (int j = 0; j < w; j++) {
           int32_t sum = 0;
           for (int t2 = 0; t2 < TAPS; t2++)
-            sum += fx[t2] * s[i * stride + j + t2];
+            sum += fx[t2] * (int32_t)s[i * stride + j + t2];
           out[i * ostride + j] = (int16_t)((sum + offset1) >> shift1);
         }
     }
     return;
   }
   if (frac_x == 0) {
-    const int32_t* s = plane + (int64_t)(y0 - half) * stride + x0;
+    const S* s = plane + (int64_t)(y0 - half) * stride + x0;
     if (mode == 0) {
       int shift = kMcFilterPrecision;
       int32_t offset = 1 << (shift - 1);
@@ -2638,7 +2803,7 @@ static void xvcn_mc_filter(
         for (int j = 0; j < w; j++) {
           int32_t sum = 0;
           for (int t2 = 0; t2 < TAPS; t2++)
-            sum += fy[t2] * s[(i + t2) * stride + j];
+            sum += fy[t2] * (int32_t)s[(i + t2) * stride + j];
           // reference casts to int16 before the final clip
           int v = (int16_t)((sum + offset) >> shift);
           if (v < 0) v = 0;
@@ -2650,7 +2815,7 @@ static void xvcn_mc_filter(
         for (int j = 0; j < w; j++) {
           int32_t sum = 0;
           for (int t2 = 0; t2 < TAPS; t2++)
-            sum += fy[t2] * s[(i + t2) * stride + j];
+            sum += fy[t2] * (int32_t)s[(i + t2) * stride + j];
           out[i * ostride + j] = (int16_t)((sum + offset1) >> shift1);
         }
     }
@@ -2658,13 +2823,13 @@ static void xvcn_mc_filter(
   }
   // two-stage: horizontal into int16 intermediates, then vertical
   static thread_local int16_t tmp[(64 + 8) * 64];
-  const int32_t* s = plane + (int64_t)(y0 - half) * stride + x0 - half;
+  const S* s = plane + (int64_t)(y0 - half) * stride + x0 - half;
   int th = h + TAPS - 1;
   for (int i = 0; i < th; i++)
     for (int j = 0; j < w; j++) {
       int32_t sum = 0;
       for (int t2 = 0; t2 < TAPS; t2++)
-        sum += fx[t2] * s[i * stride + j + t2];
+        sum += fx[t2] * (int32_t)s[i * stride + j + t2];
       int32_t v;
       if (shift1 >= 0)
         v = (sum + offset1) >> shift1;
@@ -2697,12 +2862,13 @@ static void xvcn_mc_filter(
   }
 }
 
-XVCN_API void xvcn_mc_unipred(
-    int mode, const int32_t* plane, int64_t stride, int x0, int y0,
+template <typename S>
+static void xvcn_mc_unipred_t(
+    int mode, const S* plane, int64_t stride, int x0, int y0,
     int w, int h, int frac_x, int frac_y, int bitdepth, int is_luma,
     int high_prec, int32_t* out, int64_t ostride) {
   if (frac_x == 0 && frac_y == 0) {
-    const int32_t* src0 = plane + (int64_t)y0 * stride + x0;
+    const S* src0 = plane + (int64_t)y0 * stride + x0;
     int max_val = (1 << bitdepth) - 1;
     if (mode == 0) {
       for (int i = 0; i < h; i++)
@@ -2716,27 +2882,57 @@ XVCN_API void xvcn_mc_unipred(
       int shift = kMcInternalPrecision - bitdepth;
       for (int i = 0; i < h; i++)
         for (int j = 0; j < w; j++) {
-          int16_t v = (int16_t)(src0[i * stride + j] << shift);
+          int16_t v = (int16_t)((int32_t)src0[i * stride + j] << shift);
           out[i * ostride + j] = (int16_t)(v - kMcInternalOffset);
         }
     }
     return;
   }
+  bool i16_fast = false;
+#if defined(__AVX2__)
+  i16_fast = sizeof(S) == 2 && (w & 7) == 0 &&
+             kMcFilterPrecision >= kMcInternalPrecision - bitdepth;
+#endif
   if (is_luma) {
     const int16_t* fx = high_prec ? kMcLumaFilterHp[frac_x]
                                   : kMcLumaFilter[frac_x];
     const int16_t* fy = high_prec ? kMcLumaFilterHp[frac_y]
                                   : kMcLumaFilter[frac_y];
-    xvcn_mc_filter<8>(mode, plane, stride, x0, y0, w, h, bitdepth, fx, fy,
-                      frac_x, frac_y, out, ostride);
+#if defined(__AVX2__)
+    if (i16_fast) {
+      xvcn_mc_filter_i16<8>(mode, (const int16_t*)(const void*)plane,
+                            stride, x0, y0, w, h, bitdepth, fx, fy,
+                            frac_x, frac_y, out, ostride);
+      return;
+    }
+#endif
+    xvcn_mc_filter<S, 8>(mode, plane, stride, x0, y0, w, h, bitdepth, fx,
+                         fy, frac_x, frac_y, out, ostride);
   } else {
     const int16_t* fx = high_prec ? kMcChromaFilterHp[frac_x]
                                   : kMcChromaFilter[frac_x];
     const int16_t* fy = high_prec ? kMcChromaFilterHp[frac_y]
                                   : kMcChromaFilter[frac_y];
-    xvcn_mc_filter<4>(mode, plane, stride, x0, y0, w, h, bitdepth, fx, fy,
-                      frac_x, frac_y, out, ostride);
+#if defined(__AVX2__)
+    if (i16_fast) {
+      xvcn_mc_filter_i16<4>(mode, (const int16_t*)(const void*)plane,
+                            stride, x0, y0, w, h, bitdepth, fx, fy,
+                            frac_x, frac_y, out, ostride);
+      return;
+    }
+#endif
+    xvcn_mc_filter<S, 4>(mode, plane, stride, x0, y0, w, h, bitdepth, fx,
+                         fy, frac_x, frac_y, out, ostride);
   }
+}
+
+XVCN_API void xvcn_mc_unipred(
+    int mode, const int32_t* plane, int64_t stride, int x0, int y0,
+    int w, int h, int frac_x, int frac_y, int bitdepth, int is_luma,
+    int high_prec, int32_t* out, int64_t ostride) {
+  xvcn_mc_unipred_t<int32_t>(mode, plane, stride, x0, y0, w, h, frac_x,
+                             frac_y, bitdepth, is_luma, high_prec, out,
+                             ostride);
 }
 
 // ---------------------------------------------------------------------------
