@@ -17,6 +17,9 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 #define XVCN_API extern "C" __attribute__((visibility("default")))
 
@@ -1983,6 +1986,77 @@ static int DeblockBoundaryStrength(const int32_t* p, const int32_t* q,
   return bs;
 }
 
+#if defined(__AVX2__)
+// ---- 4-lane deblock filter kernels ----
+// One group = 4 consecutive positions along the edge; lanes are those
+// positions, s[0..7] = p3,p2,p1,p0,q0,q1,q2,q3 across the edge.  For
+// horizontal edges (dir==1) the lanes are contiguous columns; for
+// vertical edges (dir==0) a 4x4 transpose in each half gives the same
+// layout.  All math mirrors the scalar loops op-for-op (bit-exact).
+struct Db4 { __m128i s[8]; };
+
+static inline void db4_transpose(__m128i r0, __m128i r1, __m128i r2,
+                                 __m128i r3, __m128i* o) {
+  __m128i t0 = _mm_unpacklo_epi32(r0, r1);
+  __m128i t1 = _mm_unpackhi_epi32(r0, r1);
+  __m128i t2 = _mm_unpacklo_epi32(r2, r3);
+  __m128i t3 = _mm_unpackhi_epi32(r2, r3);
+  o[0] = _mm_unpacklo_epi64(t0, t2);
+  o[1] = _mm_unpackhi_epi64(t0, t2);
+  o[2] = _mm_unpacklo_epi64(t1, t3);
+  o[3] = _mm_unpackhi_epi64(t1, t3);
+}
+
+static inline Db4 db4_load(const DeblockCtx& c, int x, int y, int dir,
+                           int g) {
+  Db4 d;
+  if (dir == 1) {
+    for (int j = 0; j < 8; j++)
+      d.s[j] = _mm_loadu_si128((const __m128i*)(
+          c.plane + (int64_t)(y + j - 4) * c.stride + x + g));
+  } else {
+    __m128i lo[4], hi[4];
+    for (int i = 0; i < 4; i++) {
+      const int32_t* r = c.plane + (int64_t)(y + g + i) * c.stride + x - 4;
+      lo[i] = _mm_loadu_si128((const __m128i*)r);
+      hi[i] = _mm_loadu_si128((const __m128i*)(r + 4));
+    }
+    db4_transpose(lo[0], lo[1], lo[2], lo[3], d.s);
+    db4_transpose(hi[0], hi[1], hi[2], hi[3], d.s + 4);
+  }
+  return d;
+}
+
+static inline void db4_store(const DeblockCtx& c, int x, int y, int dir,
+                             int g, const Db4& d) {
+  if (dir == 1) {
+    for (int j = 1; j < 7; j++)  // only p2..q2 can change
+      _mm_storeu_si128((__m128i*)(
+          c.plane + (int64_t)(y + j - 4) * c.stride + x + g), d.s[j]);
+  } else {
+    __m128i lo[4], hi[4];
+    db4_transpose(d.s[0], d.s[1], d.s[2], d.s[3], lo);
+    db4_transpose(d.s[4], d.s[5], d.s[6], d.s[7], hi);
+    for (int i = 0; i < 4; i++) {
+      int32_t* r = c.plane + (int64_t)(y + g + i) * c.stride + x - 4;
+      _mm_storeu_si128((__m128i*)r, lo[i]);
+      _mm_storeu_si128((__m128i*)(r + 4), hi[i]);
+    }
+  }
+}
+
+static inline __m128i db_clamp_add(__m128i nv, __m128i v, __m128i lim) {
+  __m128i d = _mm_sub_epi32(nv, v);
+  d = _mm_max_epi32(d, _mm_sub_epi32(_mm_setzero_si128(), lim));
+  d = _mm_min_epi32(d, lim);
+  return _mm_add_epi32(v, d);
+}
+
+static inline __m128i db_clip_px(__m128i v, __m128i vmax) {
+  return _mm_min_epi32(_mm_max_epi32(v, _mm_setzero_si128()), vmax);
+}
+#endif  // __AVX2__
+
 static bool DeblockCheckStrong(const DeblockCtx& c, int x, int y, int dir,
                                int i, int beta, int tc) {
   int p3 = DbGet(c, x, y, dir, i, -4), p0 = DbGet(c, x, y, dir, i, -1);
@@ -2003,6 +2077,17 @@ static void DeblockFilterEdgeLuma(const DeblockCtx& c, int x, int y, int dir,
     if (index_beta > 63) index_beta = 63;
     int beta = kDeblockBetaTable[index_beta] << bitdepth_shift;
     int g = gi * group;
+#if defined(__AVX2__)
+    // one vector load of the whole group feeds the gating decisions AND
+    // the filters (the scalar path re-gathers ~20 samples per group)
+    Db4 blk = db4_load(c, x, y, dir, g);
+    __m128i dpv = _mm_abs_epi32(_mm_add_epi32(
+        _mm_sub_epi32(blk.s[1], _mm_slli_epi32(blk.s[2], 1)), blk.s[3]));
+    __m128i dqv = _mm_abs_epi32(_mm_add_epi32(
+        _mm_sub_epi32(blk.s[4], _mm_slli_epi32(blk.s[5], 1)), blk.s[6]));
+    int dp0 = _mm_extract_epi32(dpv, 0), dp3 = _mm_extract_epi32(dpv, 3);
+    int dq0 = _mm_extract_epi32(dqv, 0), dq3 = _mm_extract_epi32(dqv, 3);
+#else
     auto dp = [&](int i) {
       return abs(DbGet(c, x, y, dir, i, -3) - 2 * DbGet(c, x, y, dir, i, -2) +
                  DbGet(c, x, y, dir, i, -1));
@@ -2012,6 +2097,7 @@ static void DeblockFilterEdgeLuma(const DeblockCtx& c, int x, int y, int dir,
                  DbGet(c, x, y, dir, i, 2));
     };
     int dp0 = dp(g), dq0 = dq(g), dp3 = dp(g + 3), dq3 = dq(g + 3);
+#endif
     int d0 = dp0 + dq0, d3 = dp3 + dq3;
     int d = d0 + d3;
     if (d >= beta && !(c.dflags & D_INITIAL_SAMPLE_DECISION)) continue;
@@ -2020,11 +2106,58 @@ static void DeblockFilterEdgeLuma(const DeblockCtx& c, int x, int y, int dir,
     if (index_tc > 53) index_tc = 53;
     int tc = kDeblockTcTable[index_tc] << bitdepth_shift;
 
+#if defined(__AVX2__)
+    __m128i str1 = _mm_add_epi32(
+        _mm_abs_epi32(_mm_sub_epi32(blk.s[0], blk.s[3])),
+        _mm_abs_epi32(_mm_sub_epi32(blk.s[4], blk.s[7])));
+    __m128i str2 = _mm_abs_epi32(_mm_sub_epi32(blk.s[3], blk.s[4]));
+    int b8 = beta >> 3, t5 = (tc * 5 + 1) >> 1;
+    bool strong = ((d0 << 1) < (beta >> 2)) && ((d3 << 1) < (beta >> 2)) &&
+                  _mm_extract_epi32(str1, 0) < b8 &&
+                  _mm_extract_epi32(str2, 0) < t5 &&
+                  _mm_extract_epi32(str1, 3) < b8 &&
+                  _mm_extract_epi32(str2, 3) < t5;
+#else
     bool strong = ((d0 << 1) < (beta >> 2)) && ((d3 << 1) < (beta >> 2)) &&
                   DeblockCheckStrong(c, x, y, dir, g, beta, tc) &&
                   DeblockCheckStrong(c, x, y, dir, g + 3, beta, tc);
+#endif
     if (strong && !(c.dflags & D_STRONG_FILTER)) {
       int tc2 = 2 * tc;
+#if defined(__AVX2__)
+      Db4 d = blk;
+      const __m128i p3 = d.s[0], p2 = d.s[1], p1 = d.s[2], p0 = d.s[3];
+      const __m128i q0 = d.s[4], q1 = d.s[5], q2 = d.s[6], q3 = d.s[7];
+      const __m128i vtc2 = _mm_set1_epi32(tc2);
+      const __m128i c2 = _mm_set1_epi32(2), c4 = _mm_set1_epi32(4);
+      auto add3 = [](__m128i a, __m128i b, __m128i cc) {
+        return _mm_add_epi32(_mm_add_epi32(a, b), cc);
+      };
+      __m128i np2 = _mm_srai_epi32(
+          add3(_mm_slli_epi32(p3, 1),
+               _mm_add_epi32(_mm_slli_epi32(p2, 1), p2),
+               add3(p1, p0, _mm_add_epi32(q0, c4))), 3);
+      __m128i np1 = _mm_srai_epi32(add3(p2, p1, add3(p0, q0, c2)), 2);
+      __m128i np0 = _mm_srai_epi32(
+          add3(p2, _mm_slli_epi32(p1, 1),
+               add3(_mm_slli_epi32(p0, 1), _mm_slli_epi32(q0, 1),
+                    _mm_add_epi32(q1, c4))), 3);
+      __m128i nq0 = _mm_srai_epi32(
+          add3(p1, _mm_slli_epi32(p0, 1),
+               add3(_mm_slli_epi32(q0, 1), _mm_slli_epi32(q1, 1),
+                    _mm_add_epi32(q2, c4))), 3);
+      __m128i nq1 = _mm_srai_epi32(add3(p0, q0, add3(q1, q2, c2)), 2);
+      __m128i nq2 = _mm_srai_epi32(
+          add3(p0, q0, add3(q1, _mm_add_epi32(_mm_slli_epi32(q2, 1), q2),
+                            _mm_add_epi32(_mm_slli_epi32(q3, 1), c4))), 3);
+      d.s[1] = db_clamp_add(np2, p2, vtc2);
+      d.s[2] = db_clamp_add(np1, p1, vtc2);
+      d.s[3] = db_clamp_add(np0, p0, vtc2);
+      d.s[4] = db_clamp_add(nq0, q0, vtc2);
+      d.s[5] = db_clamp_add(nq1, q1, vtc2);
+      d.s[6] = db_clamp_add(nq2, q2, vtc2);
+      db4_store(c, x, y, dir, g, d);
+#else
       for (int i = g; i < g + group; i++) {
         int p3 = DbGet(c, x, y, dir, i, -4), p2 = DbGet(c, x, y, dir, i, -3);
         int p1 = DbGet(c, x, y, dir, i, -2), p0 = DbGet(c, x, y, dir, i, -1);
@@ -2049,6 +2182,7 @@ static void DeblockFilterEdgeLuma(const DeblockCtx& c, int x, int y, int dir,
         DbSet(c, x, y, dir, i, 1, cl(nq1, q1));
         DbSet(c, x, y, dir, i, 2, cl(nq2, q2));
       }
+#endif
     } else {
       if (c.dflags & D_WEAK_FILTER) continue;
       int side_threshold = (beta + (beta >> 1)) >> 3;
@@ -2056,6 +2190,65 @@ static void DeblockFilterEdgeLuma(const DeblockCtx& c, int x, int y, int dir,
       bool filter_q1 = (dq0 + dq3) < side_threshold;
       int threshold = tc * 10;
       int half_tc = tc >> 1;
+#if defined(__AVX2__)
+      Db4 d = blk;
+      const __m128i p2 = d.s[1], p1 = d.s[2], p0 = d.s[3];
+      const __m128i q0 = d.s[4], q1 = d.s[5], q2 = d.s[6];
+      __m128i delta = _mm_srai_epi32(
+          _mm_add_epi32(
+              _mm_sub_epi32(
+                  _mm_mullo_epi32(_mm_set1_epi32(9), _mm_sub_epi32(q0, p0)),
+                  _mm_mullo_epi32(_mm_set1_epi32(3), _mm_sub_epi32(q1, p1))),
+              _mm_set1_epi32(8)), 4);
+      __m128i apply;
+      if (c.dflags & D_WEAK_SAMPLE_DECISION) {
+        apply = _mm_set1_epi32(-1);
+      } else {
+        apply = _mm_cmpgt_epi32(_mm_set1_epi32(threshold),
+                                _mm_abs_epi32(delta));
+      }
+      const __m128i vtc = _mm_set1_epi32(tc);
+      delta = _mm_max_epi32(delta, _mm_sub_epi32(_mm_setzero_si128(), vtc));
+      delta = _mm_min_epi32(delta, vtc);
+      const __m128i vmax = _mm_set1_epi32(sample_max);
+      d.s[3] = _mm_blendv_epi8(p0, db_clip_px(_mm_add_epi32(p0, delta),
+                                              vmax), apply);
+      d.s[4] = _mm_blendv_epi8(q0, db_clip_px(_mm_sub_epi32(q0, delta),
+                                              vmax), apply);
+      if (!(c.dflags & D_TWO_SAMPLES_WEAK_FILTER)) {
+        const __m128i one = _mm_set1_epi32(1);
+        const __m128i vhtc = _mm_set1_epi32(half_tc);
+        if (filter_p1) {
+          __m128i dp1 = _mm_srai_epi32(
+              _mm_add_epi32(
+                  _mm_sub_epi32(
+                      _mm_srai_epi32(
+                          _mm_add_epi32(_mm_add_epi32(p2, p0), one), 1),
+                      p1),
+                  delta), 1);
+          dp1 = _mm_max_epi32(dp1, _mm_sub_epi32(_mm_setzero_si128(),
+                                                 vhtc));
+          dp1 = _mm_min_epi32(dp1, vhtc);
+          d.s[2] = _mm_blendv_epi8(
+              p1, db_clip_px(_mm_add_epi32(p1, dp1), vmax), apply);
+        }
+        if (filter_q1) {
+          __m128i dq1 = _mm_srai_epi32(
+              _mm_sub_epi32(
+                  _mm_sub_epi32(
+                      _mm_srai_epi32(
+                          _mm_add_epi32(_mm_add_epi32(q2, q0), one), 1),
+                      q1),
+                  delta), 1);
+          dq1 = _mm_max_epi32(dq1, _mm_sub_epi32(_mm_setzero_si128(),
+                                                 vhtc));
+          dq1 = _mm_min_epi32(dq1, vhtc);
+          d.s[5] = _mm_blendv_epi8(
+              q1, db_clip_px(_mm_add_epi32(q1, dq1), vmax), apply);
+        }
+      }
+      db4_store(c, x, y, dir, g, d);
+#else
       for (int i = g; i < g + group; i++) {
         int p1 = DbGet(c, x, y, dir, i, -2), p0 = DbGet(c, x, y, dir, i, -1);
         int q0 = DbGet(c, x, y, dir, i, 0), q1 = DbGet(c, x, y, dir, i, 1);
@@ -2089,6 +2282,7 @@ static void DeblockFilterEdgeLuma(const DeblockCtx& c, int x, int y, int dir,
           }
         }
       }
+#endif
     }
   }
 }
@@ -2161,7 +2355,7 @@ XVCN_API void xvcn_deblock_pass(
         } else {
           if (y > 0) pi = cu_map[((y - 1) >> 2) * map_stride + (x >> 2)];
         }
-        if (pi < 0) continue;
+        if (pi < 0 || pi == qi) continue;  // CU-interior: never an edge
         const int32_t* q = cu_attr + (int64_t)qi * A_NUM;
         const int32_t* p = cu_attr + (int64_t)pi * A_NUM;
         if (p[A_POS_X] == q[A_POS_X] && p[A_POS_Y] == q[A_POS_Y]) continue;
@@ -2595,7 +2789,6 @@ XVCN_API void xvcn_to_i16(const int32_t* src, int64_t n, int16_t* dst) {
 }
 
 #if defined(__AVX2__)
-#include <immintrin.h>
 // ---- int16 MC filter kernels ----
 // The scalar loops widen int16 samples to int32 before multiplying, so
 // the compiler emits 32-bit multiplies; these kernels keep the samples
