@@ -84,7 +84,7 @@ class XvcnPicParams(c.Structure):
         ("itx_ns", c.c_int64),
         ("coeff_ns", c.c_int64),
         ("status", c.c_int32),
-        ("pad2_", c.c_int32),
+        ("profile", c.c_int32),
     ]
 
 
@@ -214,6 +214,8 @@ def decode_picture(pic_decoder, segment, bit_reader, qp):
     p.beta_offset = pd.beta_offset
     p.tc_offset = pd.tc_offset
     p.poc = pd.poc
+    from ..profiling import enabled as _prof_enabled
+    p.profile = 1 if _prof_enabled() else 0
     keep_alive = [buf_arr, mvfield, ctx.state, fam41, fam18, tx_blob,
                   tx_offsets, restr_vec]
     rpl = pd.ref_pic_lists

@@ -2391,51 +2391,165 @@ enum MetricTypeId {
   M_SAD_AC_ONLY_FAST = 5, M_SATD_AC_ONLY = 6, M_STRUCTURAL_SSD = 7,
 };
 
-// Hadamard matrices up to 16 (entries +-1), built once
-static int8_t kHad[5][16][16];  // index by log2(n): 1..4
-static bool kHadInit = []() {
-  for (int lg = 0; lg <= 4; lg++) {
-    int n = 1 << lg;
-    for (int i = 0; i < n; i++)
-      for (int j = 0; j < n; j++) {
-        int bits = i & j;
-        int par = 0;
-        while (bits) { par ^= bits & 1; bits >>= 1; }
-        kHad[lg][i][j] = par ? -1 : 1;
-      }
-  }
-  return true;
-}();
-
 static inline int ilog2(int v) { return 31 - __builtin_clz(v); }
 
-// |H_h * D * H_w| sum for a (bh x bw) block of the diff
-static int64_t SatdBlockSum(const int64_t* d, int bw, int bh) {
-  const int8_t (*hr)[16] = kHad[ilog2(bh)];
-  const int8_t (*hc)[16] = kHad[ilog2(bw)];
-  int64_t tmp[16][16];
-  for (int i = 0; i < bh; i++)
-    for (int j = 0; j < bw; j++) {
-      int64_t s = 0;
-      for (int t2 = 0; t2 < bh; t2++) s += hr[i][t2] * d[t2 * bw + j];
-      tmp[i][j] = s;
-    }
+// |H_h * D * H_w| sum for a (bh x bw) block of the diff, computed as a
+// radix-2 Walsh-Hadamard butterfly (n^2 log n adds instead of the n^3
+// multiplies of the dense +-1 GEMM).  The butterfly emits the Sylvester
+// transform in a permuted output order, which the abs-sum is invariant
+// to, so the value is bit-identical to the dense matrix product.
+static int64_t SatdBlockSum(int32_t* d, int bw, int bh) {
+  // vertical butterflies between whole rows (vectorizes across columns)
+  for (int len = 1; len < bh; len <<= 1)
+    for (int i = 0; i < bh; i += len << 1)
+      for (int r = i; r < i + len; r++) {
+        int32_t* a = d + r * bw;
+        int32_t* b = d + (r + len) * bw;
+        for (int j = 0; j < bw; j++) {
+          int32_t x = a[j], y = b[j];
+          a[j] = x + y;
+          b[j] = x - y;
+        }
+      }
   int64_t total = 0;
-  for (int i = 0; i < bh; i++)
-    for (int j = 0; j < bw; j++) {
-      int64_t s = 0;
-      for (int t2 = 0; t2 < bw; t2++) s += tmp[i][t2] * hc[t2][j];
-      total += s < 0 ? -s : s;
-    }
+  for (int r = 0; r < bh; r++) {
+    int32_t* v = d + r * bw;
+    for (int len = 1; len < bw; len <<= 1)
+      for (int i = 0; i < bw; i += len << 1)
+        for (int j = i; j < i + len; j++) {
+          int32_t x = v[j], y = v[j + len];
+          v[j] = x + y;
+          v[j + len] = x - y;
+        }
+    for (int j = 0; j < bw; j++) total += v[j] < 0 ? -v[j] : v[j];
+  }
   return total;
 }
 
-static int64_t SatdBlock(const int64_t* d, int bw, int bh) {
-  int64_t s = SatdBlockSum(d, bw, bh);
+static inline int64_t SatdScale(int64_t s, int bw, int bh) {
   if (bw == 4 && bh == 4) return (s + 1) >> 1;
   if (bw == bh) return (s + 2) >> 2;
   return (int64_t)(2.0 * (double)s / sqrt((double)(bw * bh)));
 }
+
+static int64_t SatdBlock(int32_t* d, int bw, int bh) {
+  return SatdScale(SatdBlockSum(d, bw, bh), bw, bh);
+}
+
+#if defined(__AVX2__)
+// In-register horizontal WHT over 8 int32 lanes (Sylvester order up to
+// an output permutation, which the abs-sum ignores).
+static inline __m256i wht8_h(__m256i v) {
+  __m256i sw = _mm256_shuffle_epi32(v, 0xB1);  // adjacent pairs swapped
+  __m256i r = _mm256_blend_epi32(_mm256_add_epi32(v, sw),
+                                 _mm256_sub_epi32(sw, v), 0xAA);
+  sw = _mm256_shuffle_epi32(r, 0x4E);          // 2-groups swapped
+  r = _mm256_blend_epi32(_mm256_add_epi32(r, sw),
+                         _mm256_sub_epi32(sw, r), 0xCC);
+  sw = _mm256_permute2x128_si256(r, r, 0x01);  // 4-halves swapped
+  return _mm256_blend_epi32(_mm256_add_epi32(r, sw),
+                            _mm256_sub_epi32(sw, r), 0xF0);
+}
+
+static inline __m128i wht4_h(__m128i v) {
+  __m128i sw = _mm_shuffle_epi32(v, 0xB1);
+  __m128i r = _mm_blend_epi32(_mm_add_epi32(v, sw),
+                              _mm_sub_epi32(sw, v), 0xA);
+  sw = _mm_shuffle_epi32(r, 0x4E);
+  return _mm_blend_epi32(_mm_add_epi32(r, sw),
+                         _mm_sub_epi32(sw, r), 0xC);
+}
+
+static inline int64_t hsum256(__m256i v) {
+  __m128i lo = _mm256_castsi256_si128(v);
+  __m128i hi = _mm256_extracti128_si256(v, 1);
+  __m128i t = _mm_add_epi32(lo, hi);
+  t = _mm_add_epi32(t, _mm_shuffle_epi32(t, 0x4E));
+  t = _mm_add_epi32(t, _mm_shuffle_epi32(t, 0xB1));
+  return (int64_t)_mm_cvtsi128_si32(t);
+}
+
+// one bw x bh SATD block sum, bw in {4, 8, 16}, bh <= 16
+static int64_t SatdBlockSumAvx(const int32_t* s1, int64_t st1,
+                               const int32_t* s2, int64_t st2,
+                               int bw, int bh, int32_t dcs) {
+  const __m256i vdc = _mm256_set1_epi32(dcs);
+  if (bw == 8) {
+    __m256i v[16];
+    for (int i = 0; i < bh; i++)
+      v[i] = _mm256_sub_epi32(
+          _mm256_sub_epi32(
+              _mm256_loadu_si256((const __m256i*)(s1 + i * st1)),
+              _mm256_loadu_si256((const __m256i*)(s2 + i * st2))),
+          vdc);
+    for (int len = 1; len < bh; len <<= 1)
+      for (int i = 0; i < bh; i += len << 1)
+        for (int r = i; r < i + len; r++) {
+          __m256i a = v[r], b = v[r + len];
+          v[r] = _mm256_add_epi32(a, b);
+          v[r + len] = _mm256_sub_epi32(a, b);
+        }
+    __m256i acc = _mm256_setzero_si256();
+    for (int i = 0; i < bh; i++)
+      acc = _mm256_add_epi32(acc, _mm256_abs_epi32(wht8_h(v[i])));
+    return hsum256(acc);
+  }
+  if (bw == 16) {
+    __m256i v0[8], v1[8];
+    for (int i = 0; i < bh; i++) {
+      v0[i] = _mm256_sub_epi32(
+          _mm256_sub_epi32(
+              _mm256_loadu_si256((const __m256i*)(s1 + i * st1)),
+              _mm256_loadu_si256((const __m256i*)(s2 + i * st2))),
+          vdc);
+      v1[i] = _mm256_sub_epi32(
+          _mm256_sub_epi32(
+              _mm256_loadu_si256((const __m256i*)(s1 + i * st1 + 8)),
+              _mm256_loadu_si256((const __m256i*)(s2 + i * st2 + 8))),
+          vdc);
+    }
+    for (int len = 1; len < bh; len <<= 1)
+      for (int i = 0; i < bh; i += len << 1)
+        for (int r = i; r < i + len; r++) {
+          __m256i a = v0[r], b = v0[r + len];
+          v0[r] = _mm256_add_epi32(a, b);
+          v0[r + len] = _mm256_sub_epi32(a, b);
+          a = v1[r]; b = v1[r + len];
+          v1[r] = _mm256_add_epi32(a, b);
+          v1[r + len] = _mm256_sub_epi32(a, b);
+        }
+    __m256i acc = _mm256_setzero_si256();
+    for (int i = 0; i < bh; i++) {
+      __m256i a = _mm256_add_epi32(v0[i], v1[i]);  // len=8 stage
+      __m256i b = _mm256_sub_epi32(v0[i], v1[i]);
+      acc = _mm256_add_epi32(acc, _mm256_abs_epi32(wht8_h(a)));
+      acc = _mm256_add_epi32(acc, _mm256_abs_epi32(wht8_h(b)));
+    }
+    return hsum256(acc);
+  }
+  // bw == 4
+  __m128i v[16];
+  const __m128i vdc4 = _mm256_castsi256_si128(vdc);
+  for (int i = 0; i < bh; i++)
+    v[i] = _mm_sub_epi32(
+        _mm_sub_epi32(_mm_loadu_si128((const __m128i*)(s1 + i * st1)),
+                      _mm_loadu_si128((const __m128i*)(s2 + i * st2))),
+        vdc4);
+  for (int len = 1; len < bh; len <<= 1)
+    for (int i = 0; i < bh; i += len << 1)
+      for (int r = i; r < i + len; r++) {
+        __m128i a = v[r], b = v[r + len];
+        v[r] = _mm_add_epi32(a, b);
+        v[r + len] = _mm_sub_epi32(a, b);
+      }
+  __m128i acc4 = _mm_setzero_si128();
+  for (int i = 0; i < bh; i++)
+    acc4 = _mm_add_epi32(acc4, _mm_abs_epi32(wht4_h(v[i])));
+  __m128i t = _mm_add_epi32(acc4, _mm_shuffle_epi32(acc4, 0x4E));
+  t = _mm_add_epi32(t, _mm_shuffle_epi32(t, 0xB1));
+  return (int64_t)_mm_cvtsi128_si32(t);
+}
+#endif  // __AVX2__
 
 static int64_t ComputeSatd(const int32_t* s1, int64_t st1, const int32_t* s2,
                            int64_t st2, int w, int h, int bitdepth,
@@ -2449,13 +2563,27 @@ static int64_t ComputeSatd(const int32_t* s1, int64_t st1, const int32_t* s2,
   else if (w < h) { bw = 8; bh = 16; }
   else { bw = bh = 8; }
   int64_t total = 0;
-  int64_t d[256];
+  // diffs fit int32 with headroom: |diff| <= 2^15 + |dc_sub|, and the
+  // 16x16 Hadamard gain of 256 keeps every intermediate under 2^25
+  int32_t dcs = (int32_t)dc_sub;
+#if defined(__AVX2__)
+  if (bw >= 4) {
+    for (int y = 0; y < h; y += bh)
+      for (int x = 0; x < w; x += bw)
+        total += SatdScale(
+            SatdBlockSumAvx(s1 + (int64_t)y * st1 + x, st1,
+                            s2 + (int64_t)y * st2 + x, st2, bw, bh, dcs),
+            bw, bh);
+    return total >> (bitdepth - 8);
+  }
+#endif
+  int32_t d[256];
   for (int y = 0; y < h; y += bh)
     for (int x = 0; x < w; x += bw) {
       for (int i = 0; i < bh; i++)
         for (int j = 0; j < bw; j++)
-          d[i * bw + j] = (int64_t)s1[(y + i) * st1 + x + j] -
-                          s2[(y + i) * st2 + x + j] - dc_sub;
+          d[i * bw + j] = s1[(y + i) * st1 + x + j] -
+                          s2[(y + i) * st2 + x + j] - dcs;
       if (bw == 2)
         total += SatdBlockSum(d, 2, 2);
       else
