@@ -224,6 +224,14 @@ def encode_picture(pic_encoder, segment, settings, base_qp):
                 rp.plane[comp] = base
                 rp.stride[comp] = stride
                 keep_alive.append(entry.rec_pic.planes[comp])
+                # int16 MC shadow: ME re-reads reference windows many
+                # times per CU, so the one-pass convert amortizes well
+                if os.environ.get("XVC_MC16", "1") != "0":
+                    sh = entry.rec_pic.shadow16(comp)
+                    rp.plane16[comp] = sh.ctypes.data + 2 * (
+                        entry.rec_pic.pad_y[comp] * sh.shape[1] +
+                        entry.rec_pic.pad_x[comp])
+                    keep_alive.append(sh)
             mf = getattr(entry.pic_data, "_xvcn_mvfield", None)
             if mf is not None and entry.rec_pic.width[0] == pd.width and \
                     entry.rec_pic.height[0] == pd.height:

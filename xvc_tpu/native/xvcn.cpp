@@ -3344,25 +3344,33 @@ XVCN_API void xvcn_fwd_transform(
     int shift1, int shift2, int zo_min, int32_t* out) {
   int o1 = width < zo_min ? width : zo_min;
   int o2 = height < zo_min ? height : zo_min;
-  int64_t a1 = (int64_t)1 << (shift1 - 1);
+  int32_t a1 = 1 << (shift1 - 1);
   int64_t a2 = (int64_t)1 << (shift2 - 1);
-  int64_t temp[64 * 32];
+  // GEMM1 fits int32: |resi| < 2^14 (14-bit internal max), basis
+  // <= 2^10, <= 64 taps -> |sum| < 2^30; the shifted temp then fits
+  // int32 trivially.  GEMM2 products can reach 2^32, so it stays
+  // int64, restructured as broadcast-accumulate across j (contiguous
+  // temp rows) so it vectorizes.
+  int32_t temp[64 * 32];
   for (int i = 0; i < height; i++) {
     for (int j = 0; j < o1; j++) {
-      int64_t sum = 0;
+      int32_t sum = 0;
       for (int r = 0; r < width; r++)
-        sum += (int64_t)resi[i * width + r] * mh[j * width + r];
+        sum += resi[i * width + r] * mh[j * width + r];
       temp[i * 32 + j] = (sum + a1) >> shift1;
     }
   }
   for (int i = 0; i < height * width; i++) out[i] = 0;
   for (int i = 0; i < o2; i++) {
-    for (int j = 0; j < o1; j++) {
-      int64_t sum = 0;
-      for (int r = 0; r < height; r++)
-        sum += (int64_t)mv[i * height + r] * temp[r * 32 + j];
-      out[i * width + j] = (int32_t)((sum + a2) >> shift2);
+    int64_t acc[32];
+    for (int j = 0; j < o1; j++) acc[j] = a2;
+    for (int r = 0; r < height; r++) {
+      int64_t m = mv[i * height + r];
+      const int32_t* t = temp + r * 32;
+      for (int j = 0; j < o1; j++) acc[j] += m * t[j];
     }
+    for (int j = 0; j < o1; j++)
+      out[i * width + j] = (int32_t)(acc[j] >> shift2);
   }
 }
 
