@@ -3270,70 +3270,142 @@ static inline int32_t xvcn_clip16i(int64_t v) {
   return (int32_t)v;
 }
 
-// inverse: out = clip16((clip16((M1[:in1]^T C[:in1,:c1] + a1) >> s1)
-//                        [:, :in2] M2[:in2] + a2) >> s2)
-// fixed-size variant: constant trip counts let the compiler fully
-// vectorize the tiny blocks that dominate intra pictures
-template <int H, int W>
-static void xvcn_inv_tx_fixed(const int32_t* coeff, const int32_t* m1,
-                              const int32_t* m2, int shift1, int shift2,
-                              int32_t* out) {
+// Trailing-zero extent of a coefficient block: QP>=~30 blocks
+// concentrate nonzeros top-left, and every trailing all-zero row/col
+// deletes a whole rank-1 update from both GEMM stages.  The block
+// behind `c` is fully written (parse memsets, quantizers write every
+// position), so one O(area) scan over mostly-zero memory is safe and
+// pays for itself many times over.
+static inline void xvcn_nz_extent(const int32_t* c, int rows, int cols,
+                                  int stride, int* out_h, int* out_w) {
+  int nzh = rows;
+  while (nzh > 1) {
+    const int32_t* row = c + (int64_t)(nzh - 1) * stride;
+    int j = 0;
+    while (j < cols && row[j] == 0) j++;
+    if (j < cols) break;
+    nzh--;
+  }
+  int nzw = 1;
+  for (int r = 0; r < nzh; r++) {
+    const int32_t* row = c + (int64_t)r * stride;
+    for (int j = cols - 1; j >= nzw; j--)
+      if (row[j] != 0) { nzw = j + 1; break; }
+  }
+  *out_h = nzh;
+  *out_w = nzw;
+}
+
+// inverse: out = clip16((clip16((M1[:nzh]^T C[:nzh,:C] + a1) >> s1)
+//                        [:, :nzw] M2[:nzw] + a2) >> s2)
+// Width-templated rank-1-update form: both inner loops run over
+// contiguous full-width rows with compile-time trip counts (so they
+// vectorize), while the dynamic nzh/nzw extents trim the rank of each
+// stage.  C = min(W, 32) bounds the coefficient columns that can be
+// nonzero (64-point zero-out); rows >= nzh of `dq` are never read, so
+// callers may dequantize only the first nzh rows.
+template <int W>
+static void xvcn_inv_tx_w(const int32_t* dq, int height, int nzh, int nzw,
+                          const int32_t* m1, const int32_t* m2,
+                          int shift1, int shift2, int32_t* out) {
+  const int C = W < 32 ? W : 32;
   int32_t a1 = 1 << (shift1 - 1);
   int32_t a2 = 1 << (shift2 - 1);
-  int32_t temp[H * W];
-  for (int i = 0; i < H; i++)
-    for (int j = 0; j < W; j++) {
-      int32_t sum = 0;
-      for (int r = 0; r < H; r++)
-        sum += m1[r * H + i] * coeff[r * W + j];
-      temp[i * W + j] = xvcn_clip16i((sum + a1) >> shift1);
+  // int32 accumulation is exact: <= 32 taps of (8-bit basis) x
+  // (clip16 operand) stays under 2^28 + rounding
+  int32_t temp[64 * 32];
+  for (int i = 0; i < height; i++) {
+    int32_t acc[C];
+    for (int j = 0; j < C; j++) acc[j] = a1;
+    for (int r = 0; r < nzh; r++) {
+      int32_t m = m1[r * height + i];
+      const int32_t* c = dq + (int64_t)r * W;
+      for (int j = 0; j < C; j++) acc[j] += m * c[j];
     }
-  for (int i = 0; i < H; i++)
-    for (int j = 0; j < W; j++) {
-      int32_t sum = 0;
-      for (int r = 0; r < W; r++)
-        sum += temp[i * W + r] * m2[r * W + j];
-      out[i * W + j] = xvcn_clip16i((sum + a2) >> shift2);
+    int32_t* t = temp + i * C;
+    for (int j = 0; j < C; j++) t[j] = xvcn_clip16i(acc[j] >> shift1);
+  }
+  for (int i = 0; i < height; i++) {
+    int32_t acc[W];
+    for (int j = 0; j < W; j++) acc[j] = a2;
+    const int32_t* t = temp + i * C;
+    for (int r = 0; r < nzw; r++) {
+      int32_t tv = t[r];
+      const int32_t* m = m2 + r * W;
+      for (int j = 0; j < W; j++) acc[j] += tv * m[j];
     }
+    int32_t* o = out + (int64_t)i * W;
+    for (int j = 0; j < W; j++) o[j] = xvcn_clip16i(acc[j] >> shift2);
+  }
+}
+
+// extent-aware entry: nzh/nzw from xvcn_nz_extent on the *levels* (the
+// extent is preserved by dequantization: level==0 -> dq==0)
+static void xvcn_inv_transform_nz(
+    const int32_t* dq, int height, int width,
+    const int32_t* m1, const int32_t* m2,
+    int shift1, int shift2, int zo_min, int nzh, int nzw, int32_t* out) {
+  if (zo_min == 32) {
+    switch (width) {
+      case 2: return xvcn_inv_tx_w<2>(dq, height, nzh, nzw, m1, m2,
+                                      shift1, shift2, out);
+      case 4: return xvcn_inv_tx_w<4>(dq, height, nzh, nzw, m1, m2,
+                                      shift1, shift2, out);
+      case 8: return xvcn_inv_tx_w<8>(dq, height, nzh, nzw, m1, m2,
+                                      shift1, shift2, out);
+      case 16: return xvcn_inv_tx_w<16>(dq, height, nzh, nzw, m1, m2,
+                                        shift1, shift2, out);
+      case 32: return xvcn_inv_tx_w<32>(dq, height, nzh, nzw, m1, m2,
+                                        shift1, shift2, out);
+      case 64: return xvcn_inv_tx_w<64>(dq, height, nzh, nzw, m1, m2,
+                                        shift1, shift2, out);
+      default: break;
+    }
+  }
+  // generic fallback (non-standard zero-out): rank-trimmed, inner
+  // loops contiguous over the temp/matrix rows
+  int in1 = height < zo_min ? height : zo_min;
+  int cols1 = width < zo_min ? width : zo_min;
+  if (nzh < in1) in1 = nzh;
+  int in2 = cols1 < nzw ? cols1 : nzw;
+  int32_t a1 = 1 << (shift1 - 1);
+  int32_t a2 = 1 << (shift2 - 1);
+  int32_t temp[64 * 64];
+  for (int i = 0; i < height; i++) {
+    int32_t acc[64];
+    for (int j = 0; j < cols1; j++) acc[j] = a1;
+    for (int r = 0; r < in1; r++) {
+      int32_t m = m1[r * height + i];
+      const int32_t* c = dq + (int64_t)r * width;
+      for (int j = 0; j < cols1; j++) acc[j] += m * c[j];
+    }
+    int32_t* t = temp + i * 64;
+    for (int j = 0; j < cols1; j++) t[j] = xvcn_clip16i(acc[j] >> shift1);
+  }
+  for (int i = 0; i < height; i++) {
+    int32_t acc[64];
+    for (int j = 0; j < width; j++) acc[j] = a2;
+    const int32_t* t = temp + i * 64;
+    for (int r = 0; r < in2; r++) {
+      int32_t tv = t[r];
+      const int32_t* m = m2 + r * width;
+      for (int j = 0; j < width; j++) acc[j] += tv * m[j];
+    }
+    int32_t* o = out + (int64_t)i * width;
+    for (int j = 0; j < width; j++) o[j] = xvcn_clip16i(acc[j] >> shift2);
+  }
 }
 
 XVCN_API void xvcn_inv_transform(
     const int32_t* coeff, int height, int width,
     const int32_t* m1, const int32_t* m2,
     int shift1, int shift2, int zo_min, int32_t* out) {
-  if (height < zo_min && width < zo_min) {  // no zero-out in play
-    if (height == 4 && width == 4)
-      return xvcn_inv_tx_fixed<4, 4>(coeff, m1, m2, shift1, shift2, out);
-    if (height == 8 && width == 8)
-      return xvcn_inv_tx_fixed<8, 8>(coeff, m1, m2, shift1, shift2, out);
-    if (height == 16 && width == 16)
-      return xvcn_inv_tx_fixed<16, 16>(coeff, m1, m2, shift1, shift2, out);
-  }
-  int in1 = height < zo_min ? height : zo_min;
-  int cols1 = width < zo_min ? width : zo_min;
-  int in2 = width < zo_min ? width : zo_min;
-  int32_t a1 = 1 << (shift1 - 1);
-  int32_t a2 = 1 << (shift2 - 1);
-  // int32 accumulation is exact: <= 32 taps (zero-out) of
-  // (8-bit basis) x (clip16 operand) stays under 2^28 + rounding
-  int32_t temp[64 * 64];
-  for (int i = 0; i < height; i++) {
-    const int32_t* c0 = coeff;
-    for (int j = 0; j < cols1; j++) {
-      int32_t sum = 0;
-      for (int r = 0; r < in1; r++)
-        sum += m1[r * height + i] * c0[r * width + j];
-      temp[i * 64 + j] = xvcn_clip16i((sum + a1) >> shift1);
-    }
-  }
-  for (int i = 0; i < height; i++) {
-    for (int j = 0; j < width; j++) {
-      int32_t sum = 0;
-      for (int r = 0; r < in2; r++)
-        sum += temp[i * 64 + r] * m2[r * width + j];
-      out[i * width + j] = xvcn_clip16i((sum + a2) >> shift2);
-    }
-  }
+  int rows_s = height < zo_min ? height : zo_min;
+  int cols_s = width < zo_min ? width : zo_min;
+  int nzh, nzw;
+  xvcn_nz_extent(coeff, rows_s, cols_s, width, &nzh, &nzw);
+  xvcn_inv_transform_nz(coeff, height, width, m1, m2, shift1, shift2,
+                        zo_min, nzh, nzw, out);
 }
 
 // forward: temp = (R Mh[:o1]^T + a1) >> s1 ; C[:o2,:o1] = (Mv[:o2] temp
@@ -3396,6 +3468,18 @@ XVCN_API int64_t xvcn_recon_dist(
     int32_t* resi_out, int bitdepth, int metric_kind, int metric_qp,
     double struct_str) {
   int n = height * width;
+  int nzh = height, nzw = width;
+  if (tx_kind == 0) {
+    // only the nonzero level extent feeds the inverse transform, so
+    // dequantize just those rows (the quantizer writes every position,
+    // making the extent scan safe)
+    int rows_s = height < zo_min ? height : zo_min;
+    int cols_s = width < zo_min ? width : zo_min;
+    xvcn_nz_extent(levels, rows_s, cols_s, width, &nzh, &nzw);
+    n = nzh * width;
+  } else if (tx_kind == 1) {
+    n = 1;  // DC-only path reads dq[0]
+  }
   int32_t dq[64 * 64];
   if (dq_shift > 0) {
     int64_t off = (int64_t)1 << (dq_shift - 1);
@@ -3407,9 +3491,10 @@ XVCN_API int64_t xvcn_recon_dist(
       dq[i] = xvcn_clip16i(((int64_t)levels[i] * dq_scale)
                            << (-dq_shift));
   }
+  n = height * width;
   if (tx_kind == 0) {
-    xvcn_inv_transform(dq, height, width, m1, m2, shift1, shift2, zo_min,
-                       resi_out);
+    xvcn_inv_transform_nz(dq, height, width, m1, m2, shift1, shift2,
+                          zo_min, nzh, nzw, resi_out);
   } else if (tx_kind == 1) {
     int64_t add = (int64_t)1 << (dc_shift - 1);
     int32_t val = (int32_t)(((((int64_t)dq[0] + 1) >> 1) + add)
