@@ -217,15 +217,84 @@ class PictureDecoder:
                     deblocker.deblock_picture()
             if not reader.finish():
                 success = False
-        if pd.tid == 0 or not pd.highest_layer:
+        pad_needed = pd.tid == 0 or not pd.highest_layer
+        alt_needed = (pd.nal_type == k.NalUnitType.INTRA_ACCESS_PICTURE and
+                      prev_segment.open_gop)
+        native_post = native_pic_decode and post_process and not alt_needed
+        if native_post:
+            from ..native import pic as native_pic
+            native_post = native_pic.post_available()
+        if native_post:
+            pd.ref_pic_lists.zero_out_references()
+            with span("decode.native.post"):
+                success = self._postprocess_native(
+                    segment, bit_reader, pad_needed) and success
+            return success
+        if pad_needed:
             self.rec_pic.pad_border()
-        if pd.nal_type == k.NalUnitType.INTRA_ACCESS_PICTURE and \
-                prev_segment.open_gop:
+        if alt_needed:
             self._generate_alternative_rec_pic(segment, prev_segment)
         pd.ref_pic_lists.zero_out_references()
         if post_process:
             success = self.postprocess(segment, bit_reader) and success
         return success
+
+    def _resolved_output_format(self):
+        out_fmt = dict(self.output_format)
+        if not out_fmt.get("width"):
+            out_fmt["width"] = self.rec_pic.get_display_width(0)
+        if not out_fmt.get("height"):
+            out_fmt["height"] = self.rec_pic.get_display_height(0)
+        if out_fmt.get("chroma_format",
+                       k.ChromaFormat.UNDEFINED) == k.ChromaFormat.UNDEFINED:
+            out_fmt["chroma_format"] = self.rec_pic.chroma_format
+        if not out_fmt.get("bitdepth"):
+            out_fmt["bitdepth"] = self.rec_pic.bitdepth
+        return out_fmt
+
+    def _postprocess_native(self, segment, bit_reader, pad_needed):
+        """Single native call for border pad, int16 MC-shadow refresh,
+        checksum and output serialization (native/xvcn_pic.inc
+        xvcn_postprocess); falls back to convert_to for resize / ARGB /
+        dither outputs."""
+        from ..native import pic as native_pic
+        pd = self.pic_data
+        restr = segment.restrictions
+        want_hash = (pd.tid == 0 or
+                     segment.checksum_mode == k.ChecksumMode.MAX_ROBUST)
+        method = None
+        if want_hash:
+            method = k.ChecksumMethod.CRC if \
+                restr.disable_high_level_default_checksum_method else \
+                k.ChecksumMethod.MD5
+        out_fmt = self._resolved_output_format()
+        rec = self.rec_pic
+        simple_out = (
+            rec.width[0] > 0 and rec.height[0] > 0 and
+            out_fmt["chroma_format"] == rec.chroma_format and
+            out_fmt["width"] == rec.get_display_width(0) and
+            out_fmt["height"] == rec.get_display_height(0) and
+            not (out_fmt["bitdepth"] < rec.bitdepth and
+                 out_fmt.get("dither", False)))
+        pic_hash, out_bytes = native_pic.postprocess(
+            rec, pad_needed, pad_needed, method, segment.checksum_mode,
+            out_fmt if simple_out else None)
+        if want_hash:
+            self.pic_hash = pic_hash
+            if segment.major_version <= 1:
+                bit_reader.read_byte()
+            expected = bit_reader.read_bytes(len(self.pic_hash))
+            ok = expected == self.pic_hash
+        else:
+            self.pic_hash = b""
+            ok = True
+        if out_bytes is not None:
+            self.output_pic_bytes = out_bytes
+        elif rec.width[0] == 0 or rec.height[0] == 0:
+            self.output_pic_bytes = b""
+        else:
+            self.output_pic_bytes = output.convert_to(rec, out_fmt)
+        return ok
 
     def _generate_alternative_rec_pic(self, segment, prev_segment):
         ps = prev_segment

@@ -148,6 +148,110 @@ def available():
     return LIB is not None and hasattr(LIB, "xvcn_decode_picture")
 
 
+class XvcnPostParams(c.Structure):
+    _fields_ = [
+        ("plane", c.c_int64 * 3),
+        ("stride", c.c_int64 * 3),
+        ("shadow", c.c_int64 * 3),
+        ("out_bytes", c.c_int64),
+        ("checksum_out", c.c_int64),
+        ("width", c.c_int32 * 3),
+        ("height", c.c_int32 * 3),
+        ("disp_width", c.c_int32 * 3),
+        ("disp_height", c.c_int32 * 3),
+        ("pad_x", c.c_int32 * 3),
+        ("pad_y", c.c_int32 * 3),
+        ("num_comps", c.c_int32),
+        ("bitdepth", c.c_int32),
+        ("out_bitdepth", c.c_int32),
+        ("do_pad", c.c_int32),
+        ("checksum_method", c.c_int32),
+        ("checksum_mode", c.c_int32),
+        ("checksum_len", c.c_int32),
+        ("profile", c.c_int32),
+        ("pad_", c.c_int32),
+        ("pad_ns", c.c_int64),
+        ("shadow_ns", c.c_int64),
+        ("checksum_ns", c.c_int64),
+        ("out_ns", c.c_int64),
+    ]
+
+
+def post_available():
+    from . import LIB
+    return LIB is not None and hasattr(LIB, "xvcn_postprocess")
+
+
+def postprocess(rec_pic, do_pad, want_shadow, checksum_method,
+                checksum_mode, out_fmt):
+    """One native pass: border pad, int16 shadow refresh, checksum and
+    output serialization (the four host-side postprocess stages, fused;
+    ref: src/xvc_dec_lib/picture_decoder.cc:102-151,
+    src/xvc_common_lib/yuv_pic.cc:118-150, resample.cc:304-338).
+
+    Returns (pic_hash_bytes_or_None, output_bytes_or_None); out_fmt may
+    be None to skip serialization (caller falls back to convert_to for
+    resize / ARGB / dither outputs).
+    """
+    from . import LIB
+    p = XvcnPostParams()
+    num_comps = 3 if rec_pic.chroma_format != 0 else 1
+    import numpy as np
+    keep = []
+    for comp in range(min(num_comps, 3)):
+        buf = rec_pic.padded_plane(comp)
+        p.plane[comp] = buf.ctypes.data
+        p.stride[comp] = buf.shape[1]
+        p.width[comp] = rec_pic.width[comp]
+        p.height[comp] = rec_pic.height[comp]
+        p.disp_width[comp] = rec_pic.get_display_width(comp)
+        p.disp_height[comp] = rec_pic.get_display_height(comp)
+        p.pad_x[comp] = rec_pic.pad_x[comp]
+        p.pad_y[comp] = rec_pic.pad_y[comp]
+        keep.append(buf)
+        if want_shadow:
+            cache = getattr(rec_pic, "_shadow16", None)
+            if cache is None:
+                cache = rec_pic._shadow16 = [None, None, None]
+            if cache[comp] is None or cache[comp].shape != buf.shape:
+                cache[comp] = np.empty(buf.shape, np.int16)
+            p.shadow[comp] = cache[comp].ctypes.data
+            keep.append(cache[comp])
+    p.num_comps = num_comps
+    p.bitdepth = rec_pic.bitdepth
+    p.do_pad = 1 if do_pad else 0
+    if checksum_method is not None:
+        digest = np.zeros(48, np.uint8)
+        p.checksum_out = digest.ctypes.data
+        p.checksum_method = 1 if checksum_method == k.ChecksumMethod.MD5 \
+            else 2
+        p.checksum_mode = int(checksum_mode)
+        keep.append(digest)
+    out_buf = None
+    if out_fmt is not None:
+        out_bitdepth = out_fmt["bitdepth"]
+        itemsize = 1 if out_bitdepth <= 8 else 2
+        total = sum(rec_pic.get_display_width(comp) *
+                    rec_pic.get_display_height(comp)
+                    for comp in range(num_comps))
+        out_buf = np.empty(total * itemsize, np.uint8)
+        p.out_bytes = out_buf.ctypes.data
+        p.out_bitdepth = out_bitdepth
+        keep.append(out_buf)
+    from ..profiling import enabled as _prof_enabled, add_span_time
+    p.profile = 1 if _prof_enabled() else 0
+    LIB.xvcn_postprocess(c.byref(p))
+    if p.profile:
+        add_span_time("decode.native.post.pad", p.pad_ns / 1e9)
+        add_span_time("decode.native.post.shadow", p.shadow_ns / 1e9)
+        add_span_time("decode.native.post.checksum", p.checksum_ns / 1e9)
+        add_span_time("decode.native.post.out", p.out_ns / 1e9)
+    pic_hash = bytes(digest[:p.checksum_len]) if checksum_method is not None \
+        else None
+    out_bytes = out_buf.tobytes() if out_buf is not None else None
+    return pic_hash, out_bytes
+
+
 def _plane_base(pic, comp):
     buf = pic.padded_plane(comp)
     off = (pic.pad_y[comp] * buf.shape[1] + pic.pad_x[comp]) * 4
