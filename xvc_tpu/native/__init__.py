@@ -110,11 +110,24 @@ def _build() -> str:
         if os.path.exists(inc):
             with open(inc, "rb") as f:
                 h.update(f.read())
+    # Profile-guided build: measured neutral on this codebase (the hot
+    # loops are already branch-predictable or vectorized), so opt-in.
+    pgo = (not sanitize and
+           os.environ.get("XVC_NATIVE_PGO", "0") == "1")
     digest = h.hexdigest()[:16]
-    tag = "_ubsan" if sanitize else ""
+    tag = "_ubsan" if sanitize else ("_pgo" if pgo else "")
     so_path = os.path.join(_DIR, f"_xvcn_{digest}{tag}.so")
     if os.path.exists(so_path):
         return so_path
+    if pgo:
+        try:
+            return _build_pgo(so_path)
+        except Exception:
+            # fall through to the plain build (different cache name so a
+            # later import can retry PGO)
+            so_path = os.path.join(_DIR, f"_xvcn_{digest}.so")
+            if os.path.exists(so_path):
+                return so_path
     tmp = so_path + f".tmp{os.getpid()}"
     base = ["g++", "-std=c++14", "-O3", "-fPIC", "-shared",
             "-fvisibility=hidden"]
@@ -126,9 +139,12 @@ def _build() -> str:
                  "alignment,nonnull-attribute",
                  "-fsanitize-undefined-trap-on-error"]
     # -march=native roughly doubles the MC/transform throughput (the
-    # compiler vectorizes the filter loops); fall back to the portable
-    # build if the toolchain rejects it.
-    for extra in (["-march=native"], []):
+    # compiler vectorizes the filter loops); -mtls-dialect=gnu2 (TLSDESC)
+    # removes the __tls_get_addr call from every thread_local scratch
+    # buffer access (~4% of encode).  Fall back progressively if the
+    # toolchain rejects either.
+    for extra in (["-march=native", "-mtls-dialect=gnu2"],
+                  ["-march=native"], []):
         cmd = base + extra + [_SRC, "-o", tmp]
         try:
             subprocess.run(cmd, check=True, capture_output=True)
@@ -137,6 +153,76 @@ def _build() -> str:
             if not extra:
                 raise
     os.replace(tmp, so_path)
+    return so_path
+
+
+# Training workload for the profile-guided build: a tiny end-to-end
+# encode (AI + low-delay inter) and decode pair touching every hot
+# native path (CABAC parse/write, intra search, ME, RDO quant, MC,
+# transforms, deblock, checksum/postprocess).
+_PGO_TRAIN = r"""
+import numpy as np
+from xvc_tpu import api
+from xvc_tpu.codec.decoder import decode_stream
+rng = np.random.RandomState(3)
+w, h, n = 96, 64, 3
+frames = []
+yy, xx = np.mgrid[0:h, 0:w]
+for t in range(n):
+    y = np.clip(120 + 50*np.sin((xx+5*t)/9.0) + rng.randint(-9, 10, (h, w)),
+                0, 255).astype(np.uint8)
+    u = np.clip(128 + 20*np.cos((yy[::2, ::2]+3*t)/7.0), 0,
+                255).astype(np.uint8)
+    v = np.clip(128 - 20*np.sin((xx[::2, ::2]+2*t)/8.0), 0,
+                255).astype(np.uint8)
+    frames.append(y.tobytes() + u.tobytes() + v.tobytes())
+for kw in (dict(num_ref_pics=0, sub_gop_length=1, speed_mode=2),
+           dict(num_ref_pics=1, sub_gop_length=1, speed_mode=2),
+           dict(num_ref_pics=2, sub_gop_length=4, speed_mode=1)):
+    p = api.EncoderParameters(width=w, height=h, qp=30, input_bitdepth=8,
+                              internal_bitdepth=8, **kw)
+    enc = api.EncoderSession(p)
+    nals = []
+    for f in frames:
+        nals += enc.encode(f)
+    nals += enc.flush()
+    bs = b"".join(len(x).to_bytes(4, "little") + x for x in nals)
+    pics = decode_stream(bs)
+    assert all(pc.conforming for pc in pics)
+print("PGO-TRAIN-OK")
+"""
+
+
+def _build_pgo(so_path):
+    """Two-stage profile-guided build: instrumented compile -> tiny
+    encode/decode training run in a subprocess -> optimized recompile
+    with the recorded branch/count profile.  The CABAC/RDO hot loops are
+    branch-dominated, where PGO's value lies."""
+    import sys
+    import tempfile
+    flags = ["g++", "-std=c++14", "-O3", "-fPIC", "-shared",
+             "-fvisibility=hidden", "-march=native",
+             "-mtls-dialect=gnu2"]
+    with tempfile.TemporaryDirectory(prefix="xvcn_pgo_") as pgo_dir:
+        instr = os.path.join(pgo_dir, "xvcn_instr.so")
+        subprocess.run(
+            flags + [f"-fprofile-generate={pgo_dir}", _SRC, "-o", instr],
+            check=True, capture_output=True)
+        env = dict(os.environ)
+        env["XVC_NATIVE_SO"] = instr
+        env["XVC_NATIVE_PGO"] = "0"
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(_DIR))
+        r = subprocess.run(
+            [sys.executable, "-c", _PGO_TRAIN], env=env,
+            capture_output=True, text=True, timeout=600)
+        if r.returncode != 0 or "PGO-TRAIN-OK" not in r.stdout:
+            raise RuntimeError("PGO training failed: %s" % r.stderr[-500:])
+        tmp = so_path + f".tmp{os.getpid()}"
+        subprocess.run(
+            flags + [f"-fprofile-use={pgo_dir}", "-fprofile-correction",
+                     _SRC, "-o", tmp],
+            check=True, capture_output=True)
+        os.replace(tmp, so_path)
     return so_path
 
 
@@ -252,7 +338,10 @@ def _bind(lib):
 LIB = None
 if os.environ.get("XVC_NATIVE", "1") != "0":
     try:
-        LIB = _bind(ctypes.CDLL(_build()))
+        # XVC_NATIVE_SO: load a pre-built library instead of building
+        # (used by the PGO training stage to run the instrumented build)
+        _so = os.environ.get("XVC_NATIVE_SO") or _build()
+        LIB = _bind(ctypes.CDLL(_so))
     except Exception as _e:  # noqa: BLE001 - fall back to the Python path
         # The Python twin is bit-identical, so a silent fallback would
         # hide a broken native build (and a ~20x slowdown): warn loudly.
