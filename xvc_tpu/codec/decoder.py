@@ -124,8 +124,14 @@ class Decoder:
                 self.nal_buffer = []
         self.state = DecoderState.NO_SEGMENT_HEADER
 
-    def get_decoded_picture(self):
-        """Returns OutputPicture or None (lowest un-output POC)."""
+    def get_decoded_picture(self, block=True):
+        """Returns OutputPicture or None (lowest un-output POC).
+
+        block=False returns None instead of waiting when the picture's
+        async postprocess (checksum + output serialization) is still
+        running on the worker thread — the caller decodes further NALs
+        in the meantime and pulls on the next pass (one-picture output
+        pipeline; used by decode_stream / the CLI)."""
         if not self._has_picture_ready_for_output():
             return None
         best = None
@@ -134,6 +140,9 @@ class Decoder:
                     (best is None or pic.pic_data.poc < best.pic_data.poc):
                 best = pic
         if best is None:
+            return None
+        if not block and getattr(best, "pending_job", None) is None and \
+                not best.post_ready():
             return None
         self._wait_for_picture(best)
         best.output_status_done = True
@@ -169,11 +178,14 @@ class Decoder:
         """Harvest an async picture decode
         (ref: thread_decoder.cc WaitAll / decoder.cc:364-433)."""
         job = getattr(pic_dec, "pending_job", None)
-        if job is None:
-            return
-        pic_dec.pending_job = None
-        success = job.future.result()
-        self._on_picture_decoded(pic_dec, success, job.deps)
+        if job is not None:
+            pic_dec.pending_job = None
+            success = job.future.result()
+            self._on_picture_decoded(pic_dec, success, job.deps)
+        if getattr(pic_dec, "_post_finish", None) is not None:
+            ok = pic_dec.finish_post()
+            self._finalize_conformance(
+                pic_dec, ok and getattr(pic_dec, "_parse_success", True))
 
     def _has_picture_ready_for_output(self):
         """(ref: decoder.h:67-70)"""
@@ -319,7 +331,10 @@ class Decoder:
         self._on_picture_decoded(pic_dec, success, deps)
 
     def _get_free_picture_decoder(self, sh):
-        if len(self.pic_decoders) < self.pic_buffering_num:
+        # +1 slack: a picture whose async postprocess is still running
+        # holds its slot one pull longer than the strict buffering model
+        # (get_decoded_picture(block=False) lazy output pipeline)
+        if len(self.pic_decoders) < self.pic_buffering_num + 1:
             pic = PictureDecoder(sh.chroma_format, sh.internal_width,
                                  sh.internal_height, sh.internal_bitdepth,
                                  sh.crop_width, sh.crop_height)
@@ -346,9 +361,20 @@ class Decoder:
 
     def _on_picture_decoded(self, pic_dec, success, deps):
         pic_dec.output_status_done = False
-        pic_dec.is_conforming = success
         for dep in deps:
             dep.ref_count -= 1
+        if success and getattr(pic_dec, "_post_finish", None) is not None:
+            # Checksum/output still running on the postprocess worker
+            # thread (picture_decoder._postprocess_native); conformance
+            # is finalized in _wait_for_picture before the picture is
+            # output.  Provisionally conforming until then.
+            pic_dec.is_conforming = True
+            pic_dec._parse_success = True
+            return
+        self._finalize_conformance(pic_dec, success)
+
+    def _finalize_conformance(self, pic_dec, success):
+        pic_dec.is_conforming = success
         if success:
             if self.state != DecoderState.CHECKSUM_MISMATCH:
                 self.state = DecoderState.PIC_DECODED
@@ -365,7 +391,10 @@ def decode_stream(data, max_pics=None):
     for nal in split_nal_units(data):
         dec.decode_nal(nal)
         while True:
-            pic = dec.get_decoded_picture()
+            # Lazy pull: skip pictures whose checksum/output worker is
+            # still running and decode the next NAL instead (the post
+            # of picture N overlaps the native decode of N+1).
+            pic = dec.get_decoded_picture(block=False)
             if pic is None:
                 break
             pics.append(pic)

@@ -121,6 +121,7 @@ class PictureDecoder:
         self.is_conforming = True
         self.output_pic_bytes = b""
         self.pic_hash = b""
+        self._post_finish = None  # deferred checksum/output join
 
     def get_alternative_rec_pic(self, segment_header):
         """Allocate (but do not fill) the cross-segment alternative
@@ -179,6 +180,7 @@ class PictureDecoder:
 
     def decode(self, segment, prev_segment, bit_reader, post_process=True):
         pd = self.pic_data
+        self.finish_post()  # join any stale async post before buffer reuse
         restr = segment.restrictions
         qp = Qp(self.pic_qp, pd.chroma_format, pd.bitdepth, 0.0,
                 segment.chroma_qp_offset_table, segment.chroma_qp_offset_u,
@@ -256,7 +258,14 @@ class PictureDecoder:
         """Single native call for border pad, int16 MC-shadow refresh,
         checksum and output serialization (native/xvcn_pic.inc
         xvcn_postprocess); falls back to convert_to for resize / ARGB /
-        dither outputs."""
+        dither outputs.
+
+        The read-only stages (checksum + output serialization) run on a
+        worker thread overlapped with subsequent picture decodes; the
+        expected in-bitstream hash is read synchronously here (bitstream
+        position is serial state) and the comparison is deferred to
+        finish_post(), joined by the session before the picture is
+        output (codec/decoder.py _wait_for_picture)."""
         from ..native import pic as native_pic
         pd = self.pic_data
         restr = segment.restrictions
@@ -276,25 +285,82 @@ class PictureDecoder:
             out_fmt["height"] == rec.get_display_height(0) and
             not (out_fmt["bitdepth"] < rec.bitdepth and
                  out_fmt.get("dither", False)))
-        pic_hash, out_bytes = native_pic.postprocess(
+        if not native_pic.async_post_enabled():
+            # Single-core host: run everything inline (same code path,
+            # no worker thread) and compare the checksum immediately.
+            pic_hash, out_bytes = native_pic.postprocess(
+                rec, pad_needed, pad_needed, method, segment.checksum_mode,
+                out_fmt if simple_out else None)
+            if want_hash:
+                self.pic_hash = pic_hash
+                if segment.major_version <= 1:
+                    bit_reader.read_byte()
+                expected = bit_reader.read_bytes(len(self.pic_hash))
+                ok = expected == self.pic_hash
+            else:
+                self.pic_hash = b""
+                ok = True
+            if out_bytes is not None:
+                self.output_pic_bytes = out_bytes
+            elif rec.width[0] == 0 or rec.height[0] == 0:
+                self.output_pic_bytes = b""
+            else:
+                self.output_pic_bytes = output.convert_to(rec, out_fmt)
+            return ok
+        join = native_pic.postprocess(
             rec, pad_needed, pad_needed, method, segment.checksum_mode,
-            out_fmt if simple_out else None)
+            out_fmt if simple_out else None, split_async=True)
+        expected = b""
         if want_hash:
-            self.pic_hash = pic_hash
             if segment.major_version <= 1:
                 bit_reader.read_byte()
-            expected = bit_reader.read_bytes(len(self.pic_hash))
-            ok = expected == self.pic_hash
-        else:
-            self.pic_hash = b""
-            ok = True
-        if out_bytes is not None:
-            self.output_pic_bytes = out_bytes
-        elif rec.width[0] == 0 or rec.height[0] == 0:
-            self.output_pic_bytes = b""
-        else:
-            self.output_pic_bytes = output.convert_to(rec, out_fmt)
-        return ok
+            # digest length is deterministic (native checksum stage
+            # writes 16/2 bytes per MD5/CRC digest, one digest per
+            # plane in max-robust mode; xvcn_pic.inc checksum stage)
+            num_comps = 3 if rec.chroma_format != k.ChromaFormat.MONOCHROME \
+                else 1
+            per = 16 if method == k.ChecksumMethod.MD5 else 2
+            ndig = num_comps if \
+                segment.checksum_mode == k.ChecksumMode.MAX_ROBUST else 1
+            expected = bit_reader.read_bytes(per * ndig)
+
+        def finish():
+            pic_hash, out_bytes = join()
+            if want_hash:
+                self.pic_hash = pic_hash
+                ok = expected == self.pic_hash
+            else:
+                self.pic_hash = b""
+                ok = True
+            if out_bytes is not None:
+                self.output_pic_bytes = out_bytes
+            elif rec.width[0] == 0 or rec.height[0] == 0:
+                self.output_pic_bytes = b""
+            else:
+                self.output_pic_bytes = output.convert_to(rec, out_fmt)
+            return ok
+
+        self._post_finish = finish
+        self._post_ready = getattr(join, "done", None)
+        return True
+
+    def post_ready(self):
+        """True when no async post is pending or it has completed (a
+        non-blocking probe used by lazy output pulls)."""
+        if self._post_finish is None:
+            return True
+        ready = getattr(self, "_post_ready", None)
+        return ready() if ready is not None else True
+
+    def finish_post(self):
+        """Join the deferred checksum/output stage; True if the picture
+        conforms (or nothing was pending).  Idempotent."""
+        finish = self._post_finish
+        if finish is None:
+            return True
+        self._post_finish = None
+        self._post_ready = None
+        return finish()
 
     def _generate_alternative_rec_pic(self, segment, prev_segment):
         ps = prev_segment

@@ -174,6 +174,8 @@ class XvcnPostParams(c.Structure):
         ("shadow_ns", c.c_int64),
         ("checksum_ns", c.c_int64),
         ("out_ns", c.c_int64),
+        ("stages", c.c_int32),
+        ("pad2_", c.c_int32),
     ]
 
 
@@ -182,8 +184,36 @@ def post_available():
     return LIB is not None and hasattr(LIB, "xvcn_postprocess")
 
 
+_POST_EXECUTOR = None
+
+
+def async_post_enabled():
+    """Overlapped checksum/output only pays off with a second core to
+    run it on; on a single-CPU host the extra thread just steals cycles
+    from the decode (measured ~20% slower).  XVC_ASYNC_POST=0/1
+    overrides the automatic choice."""
+    v = os.environ.get("XVC_ASYNC_POST")
+    if v is not None:
+        return v != "0"
+    return (os.cpu_count() or 1) > 1
+
+
+def _post_executor():
+    """Single worker thread for the read-only postprocess stages
+    (checksum + output serialization).  The ctypes call releases the
+    GIL, so the hash of picture N overlaps the native decode of N+1 —
+    the role of the reference's decoded-picture output path running
+    ahead of conformance checking."""
+    global _POST_EXECUTOR
+    if _POST_EXECUTOR is None:
+        import concurrent.futures
+        _POST_EXECUTOR = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="xvcn-post")
+    return _POST_EXECUTOR
+
+
 def postprocess(rec_pic, do_pad, want_shadow, checksum_method,
-                checksum_mode, out_fmt):
+                checksum_mode, out_fmt, split_async=False):
     """One native pass: border pad, int16 shadow refresh, checksum and
     output serialization (the four host-side postprocess stages, fused;
     ref: src/xvc_dec_lib/picture_decoder.cc:102-151,
@@ -192,6 +222,11 @@ def postprocess(rec_pic, do_pad, want_shadow, checksum_method,
     Returns (pic_hash_bytes_or_None, output_bytes_or_None); out_fmt may
     be None to skip serialization (caller falls back to convert_to for
     resize / ARGB / dither outputs).
+
+    With split_async=True, the reference-critical stage (pad + shadow)
+    runs synchronously and the read-only stage (checksum + output)
+    is submitted to a worker thread; returns a join() callable that
+    waits and returns the same (pic_hash, out_bytes) tuple.
     """
     from . import LIB
     p = XvcnPostParams()
@@ -240,16 +275,39 @@ def postprocess(rec_pic, do_pad, want_shadow, checksum_method,
         keep.append(out_buf)
     from ..profiling import enabled as _prof_enabled, add_span_time
     p.profile = 1 if _prof_enabled() else 0
+
+    def _harvest():
+        if p.profile:
+            add_span_time("decode.native.post.pad", p.pad_ns / 1e9)
+            add_span_time("decode.native.post.shadow", p.shadow_ns / 1e9)
+            add_span_time("decode.native.post.checksum", p.checksum_ns / 1e9)
+            add_span_time("decode.native.post.out", p.out_ns / 1e9)
+        pic_hash = bytes(digest[:p.checksum_len]) \
+            if checksum_method is not None else None
+        out_bytes = out_buf.tobytes() if out_buf is not None else None
+        return pic_hash, out_bytes
+
+    if not split_async:
+        p.stages = 3
+        LIB.xvcn_postprocess(c.byref(p))
+        return _harvest()
+
+    p.stages = 1
     LIB.xvcn_postprocess(c.byref(p))
-    if p.profile:
-        add_span_time("decode.native.post.pad", p.pad_ns / 1e9)
-        add_span_time("decode.native.post.shadow", p.shadow_ns / 1e9)
-        add_span_time("decode.native.post.checksum", p.checksum_ns / 1e9)
-        add_span_time("decode.native.post.out", p.out_ns / 1e9)
-    pic_hash = bytes(digest[:p.checksum_len]) if checksum_method is not None \
-        else None
-    out_bytes = out_buf.tobytes() if out_buf is not None else None
-    return pic_hash, out_bytes
+
+    def _stage2():
+        p.stages = 2
+        LIB.xvcn_postprocess(c.byref(p))
+        return keep  # hold plane/digest/out buffers until joined
+
+    fut = _post_executor().submit(_stage2)
+
+    def join():
+        fut.result()
+        return _harvest()
+
+    join.done = fut.done  # non-blocking readiness probe
+    return join
 
 
 def _plane_base(pic, comp):
