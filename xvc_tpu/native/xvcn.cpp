@@ -121,6 +121,14 @@ static const int kScanCoeff4x4[3][16] = {
 
 enum ScanOrder { kDiagonal = 0, kHorizontal = 1, kVertical = 2 };
 
+// inverse of kScanCoeff4x4 / kScanCoeff2x2: raster position -> scan index
+static const int kScanCoeff2x2Inv[3][4] = {
+    {0, 2, 1, 3}, {0, 1, 2, 3}, {0, 2, 1, 3}};
+static const int kScanCoeff4x4Inv[3][16] = {
+    {0, 2, 5, 9, 1, 4, 8, 12, 3, 7, 11, 14, 6, 10, 13, 15},
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15}};
+
 // scan.py derive_subblock_scan; table must hold width*height entries
 static void DeriveSubblockScan(int scan_order, int width, int height,
                                int* table) {
@@ -152,6 +160,29 @@ static void DeriveSubblockScan(int scan_order, int width, int height,
       if (pos_y == height - 1) { pos_x += 1; pos_y = 0; } else { pos_y += 1; }
     }
   }
+}
+
+// Cached subblock scan tables + inverse (raster -> scan index), keyed by
+// (scan_order, log2 sw, log2 sh); sw/sh are powers of two <= 32.  Built
+// lazily per thread (a TU parse is single-threaded).
+struct NScanTables {
+  int sub_scan[1024];
+  uint16_t sub_inv[1024];
+};
+
+static inline int size_to_log2(int s);
+
+static const NScanTables& get_subblock_scan(int scan_order, int sw, int sh) {
+  thread_local static NScanTables* cache[3][7][7] = {};
+  int lw = size_to_log2(sw), lh = size_to_log2(sh);
+  NScanTables*& slot = cache[scan_order][lw][lh];
+  if (!slot) {
+    slot = new NScanTables();
+    DeriveSubblockScan(scan_order, sw, sh, slot->sub_scan);
+    for (int i = 0; i < sw * sh; i++)
+      slot->sub_inv[slot->sub_scan[i]] = (uint16_t)i;
+  }
+  return *slot;
 }
 
 // ---- restriction flag bits (mirrors xvc_tpu/native/__init__.py order) ----
@@ -221,8 +252,9 @@ static int GetSubblockCsbfCtx(const CoeffCtxParams& p,
 }
 
 // contexts.py get_coeff_sig_ctx (coeff = partially decoded levels)
+template <typename C>
 static int GetCoeffSigCtx(const CoeffCtxParams& p, int pattern_sig_ctx,
-                          int posx, int posy, const int32_t* coeff,
+                          int posx, int posy, const C* coeff,
                           int stride) {
   if (!(p.restr & R_EXT2_CABAC_ALT_RESIDUAL_CTX)) {
     int width = 1 << p.width_log2, height = 1 << p.height_log2;
@@ -273,8 +305,9 @@ static int GetCoeffSigCtx(const CoeffCtxParams& p, int pattern_sig_ctx,
 }
 
 // contexts.py _ext_greater_ctx
+template <typename C>
 static int ExtGreaterCtx(const CoeffCtxParams& p, int posx, int posy,
-                         int is_last_coeff, const int32_t* coeff, int stride,
+                         int is_last_coeff, const C* coeff, int stride,
                          int threshold) {
   int posxy = posx + posy;
   int base_l = p.offsets[F_EXT_GREATER1_LUMA];
@@ -303,9 +336,10 @@ static int ExtGreaterCtx(const CoeffCtxParams& p, int posx, int posy,
 }
 
 // contexts.py get_coeff_greater1_ctx
+template <typename C>
 static int GetCoeffGreater1Ctx(const CoeffCtxParams& p, int ctx_set, int c1,
                                int posx, int posy, int is_last_coeff,
-                               const int32_t* coeff, int stride) {
+                               const C* coeff, int stride) {
   if (!(p.restr & R_EXT2_CABAC_ALT_RESIDUAL_CTX)) {
     if (p.restr & R_CABAC_COEFF_GREATER1_CTX)
       return p.offsets[p.is_luma ? F_EXT_GREATER1_LUMA : F_EXT_GREATER1_CHROMA];
@@ -318,9 +352,10 @@ static int GetCoeffGreater1Ctx(const CoeffCtxParams& p, int ctx_set, int c1,
 }
 
 // contexts.py get_coeff_greater2_ctx
+template <typename C>
 static int GetCoeffGreater2Ctx(const CoeffCtxParams& p, int ctx_set,
                                int posx, int posy, int is_last_coeff,
-                               const int32_t* coeff, int stride) {
+                               const C* coeff, int stride) {
   if (!(p.restr & R_EXT2_CABAC_ALT_RESIDUAL_CTX)) {
     if (p.restr & R_CABAC_COEFF_GREATER2_CTX)
       return p.offsets[p.is_luma ? F_EXT_GREATER1_LUMA : F_EXT_GREATER1_CHROMA];
@@ -332,8 +367,9 @@ static int GetCoeffGreater2Ctx(const CoeffCtxParams& p, int ctx_set,
 }
 
 // contexts.py get_coeff_golomb_rice_k
+template <typename C>
 static int GetCoeffGolombRiceK(int posx, int posy, int width, int height,
-                               const int32_t* coeff, int stride) {
+                               const C* coeff, int stride) {
   int offset = 0, num = 0;
   if (posx < width - 1) {
     int c = coeff[posy * stride + posx + 1];
@@ -829,32 +865,12 @@ static void ReadCoeffLastPos(XvcnDec* d, const CoeffCtxParams& p,
   *out_y = pos_last_y;
 }
 
-static int DetermineLastIndex(int sw, int sh, int pos_last_x, int pos_last_y,
-                              const int* sub_scan, const int* scan_table,
-                              int subblock_shift) {
-  int subblock_mask = (1 << subblock_shift) - 1;
-  int subblock_size = 1 << (2 * subblock_shift);
-  int nbr = sw * sh;
-  for (int si = 0; si < nbr; si++) {
-    int sscan = sub_scan[si];
-    int sy = sscan / sw;
-    int sx = sscan - sy * sw;
-    int spx = sx << subblock_shift, spy = sy << subblock_shift;
-    for (int ci = 0; ci < subblock_size; ci++) {
-      int so = scan_table[ci];
-      int cx = spx + (so & subblock_mask);
-      int cy = spy + (so >> subblock_shift);
-      if (cx == pos_last_x && cy == pos_last_y)
-        return (si << (2 * subblock_shift)) + ci;
-    }
-  }
-  return -1;
-}
 
-XVCN_API int xvcn_read_coefficients(
+template <typename C>
+static int ReadCoefficientsT(
     XvcnDec* d, uint8_t* ctx, const int32_t* offsets, uint64_t restr,
     int width, int height, int subblock_shift, int is_luma, int scan_order,
-    int32_t* dst, int stride) {
+    C* dst, int stride) {
   d->ctx = ctx;
   CoeffCtxParams p;
   p.offsets = offsets; p.restr = restr; p.is_luma = is_luma;
@@ -870,11 +886,14 @@ XVCN_API int xvcn_read_coefficients(
   int nbr_subblocks = sw * sh;
   uint8_t subblock_csbf[1024];
   memset(subblock_csbf, 0, nbr_subblocks);
-  int sub_scan[1024];
-  DeriveSubblockScan(scan_order, sw, sh, sub_scan);
+  const NScanTables& st = get_subblock_scan(scan_order, sw, sh);
+  const int* sub_scan = st.sub_scan;
   const int* scan_table = (subblock_shift == 1)
                               ? kScanCoeff2x2[scan_order]
                               : kScanCoeff4x4[scan_order];
+  const int* scan_inv = (subblock_shift == 1)
+                            ? kScanCoeff2x2Inv[scan_order]
+                            : kScanCoeff4x4Inv[scan_order];
 
   int subblock_last_index = nbr_subblocks - 1;
   int subblock_last_coeff_offset = 1;
@@ -891,9 +910,15 @@ XVCN_API int xvcn_read_coefficients(
   if (!(restr & R_TRANSFORM_LAST_POSITION)) {
     int pos_last_x, pos_last_y;
     ReadCoeffLastPos(d, p, &pos_last_x, &pos_last_y);
-    int pos_last_index = DetermineLastIndex(
-        sw, sh, pos_last_x, pos_last_y, sub_scan, scan_table, subblock_shift);
-    if (pos_last_index < 0) { d->error = 1; return 0; }
+    if (pos_last_x >= width || pos_last_y >= height) { d->error = 1; return 0; }
+    // O(1) inverse-scan lookup (sub_inv + within-subblock inverse) in
+    // place of the old exhaustive scan-table walk
+    int pos_last_index =
+        ((int)st.sub_inv[(pos_last_y >> subblock_shift) * sw +
+                         (pos_last_x >> subblock_shift)]
+         << (2 * subblock_shift)) +
+        scan_inv[((pos_last_y & subblock_mask) << subblock_shift) +
+                 (pos_last_x & subblock_mask)];
     int pos_last = (pos_last_y << log2size) + pos_last_x;
     subblock_last_index = pos_last_index >> (2 * subblock_shift);
     subblock_last_coeff_offset =
@@ -1074,6 +1099,27 @@ XVCN_API int xvcn_read_coefficients(
     dst[coeff_scan_y * stride + coeff_scan_x] = 0;
   }
   return total_num_sig_coeff;
+}
+
+XVCN_API int xvcn_read_coefficients(
+    XvcnDec* d, uint8_t* ctx, const int32_t* offsets, uint64_t restr,
+    int width, int height, int subblock_shift, int is_luma, int scan_order,
+    int32_t* dst, int stride) {
+  return ReadCoefficientsT<int32_t>(d, ctx, offsets, restr, width, height,
+                                    subblock_shift, is_luma, scan_order, dst,
+                                    stride);
+}
+
+// int16 coefficient store: half the cache footprint of the int32 form
+// (the reference parses into int16 Coeff arrays, syntax_reader.cc); used
+// by the native picture decoder's arena
+XVCN_API int xvcn_read_coefficients16(
+    XvcnDec* d, uint8_t* ctx, const int32_t* offsets, uint64_t restr,
+    int width, int height, int subblock_shift, int is_luma, int scan_order,
+    int16_t* dst, int stride) {
+  return ReadCoefficientsT<int16_t>(d, ctx, offsets, restr, width, height,
+                                    subblock_shift, is_luma, scan_order, dst,
+                                    stride);
 }
 
 // ---- residual coefficient write (syntax/writer.py _write_coeff_subblock) ----
@@ -3276,11 +3322,12 @@ static inline int32_t xvcn_clip16i(int64_t v) {
 // behind `c` is fully written (parse memsets, quantizers write every
 // position), so one O(area) scan over mostly-zero memory is safe and
 // pays for itself many times over.
-static inline void xvcn_nz_extent(const int32_t* c, int rows, int cols,
+template <typename C>
+static inline void xvcn_nz_extent(const C* c, int rows, int cols,
                                   int stride, int* out_h, int* out_w) {
   int nzh = rows;
   while (nzh > 1) {
-    const int32_t* row = c + (int64_t)(nzh - 1) * stride;
+    const C* row = c + (int64_t)(nzh - 1) * stride;
     int j = 0;
     while (j < cols && row[j] == 0) j++;
     if (j < cols) break;
@@ -3288,7 +3335,7 @@ static inline void xvcn_nz_extent(const int32_t* c, int rows, int cols,
   }
   int nzw = 1;
   for (int r = 0; r < nzh; r++) {
-    const int32_t* row = c + (int64_t)r * stride;
+    const C* row = c + (int64_t)r * stride;
     for (int j = cols - 1; j >= nzw; j--)
       if (row[j] != 0) { nzw = j + 1; break; }
   }
