@@ -162,7 +162,7 @@ class PictureDecoder:
         self.alt_rec_pic = None
         self.rec_pic._dev_planes = None  # invalidate device ref cache
         self.rec_pic._dev_pre_deblock = None
-        self.rec_pic._shadow16 = None  # invalidate native MC shadow
+        self.rec_pic.invalidate_shadow16()  # buffer recycled
         pd = self.pic_data
         pd.nal_type = header.nal_unit_type
         pd.soc = header.soc

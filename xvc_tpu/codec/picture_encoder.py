@@ -46,7 +46,7 @@ class PictureEncoder:
         max_tid = seg.get_max_tid(segment.max_sub_gop_length)
         self.output_status = "ready"
         self.buffer_flag = False
-        self.rec_pic._shadow16 = None  # buffer recycled for new content
+        self.rec_pic.invalidate_shadow16()  # buffer recycled
         pd = self.pic_data
         pd.doc = doc
         pd.poc = poc

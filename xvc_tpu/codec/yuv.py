@@ -39,33 +39,86 @@ class YuvPicture:
         self.pad_y = [PAD >> self.shift_y[c] if padding else 0
                       for c in range(3)]
 
-    def shadow16(self, comp):
-        """Cached int16 copy of the padded plane for native MC reads
-        (samples always fit: internal bitdepth <= 14).  Valid only once
-        the picture is fully reconstructed and padded; the decoder
-        invalidates it when the buffer is recycled for a new picture."""
+    def _s16_slots(self):
         cache = getattr(self, "_shadow16", None)
         if cache is None:
             cache = self._shadow16 = [None, None, None]
-        if cache[comp] is None:
+        return cache
+
+    def rec16(self, comp):
+        """int16 surface buffer (padded plane geometry), allocated
+        lazily and kept across picture reuses.  Under native decode
+        this IS the authoritative reconstruction surface (the
+        reference's Sample type, yuv_pic.h); the int32 planes are
+        materialized from it on demand for Python consumers."""
+        cache = self._s16_slots()
+        if cache[comp] is None or \
+                cache[comp].shape != self.planes[comp].shape:
+            # zero-initialized so the padding area's history mirrors the
+            # int32 planes exactly: never-padded (non-reference) pictures
+            # expose deterministic zero borders to the output resampler,
+            # matching the Python twin and the reference decoder
+            cache[comp] = np.zeros(self.planes[comp].shape, np.int16)
+        return cache[comp]
+
+    def begin_native16(self):
+        """Mark the int16 surface authoritative (about to be written by
+        the native decoder); int32 planes become stale."""
+        for c in range(3):
+            self.rec16(c)
+        self._native16 = True
+        self._stale32 = [True, True, True]
+
+    def invalidate_shadow16(self):
+        """Buffer recycled for new content: drop surface authority and
+        any cached int16 mirror (buffers are kept for reuse)."""
+        self._native16 = False
+        self._stale32 = [False, False, False]
+        self._s16_valid = [False, False, False]
+
+    def _materialize(self, comp):
+        if getattr(self, "_native16", False) and \
+                getattr(self, "_stale32", None) and self._stale32[comp]:
+            np.copyto(self.planes[comp], self._shadow16[comp],
+                      casting="unsafe")
+            self._stale32[comp] = False
+
+    def shadow16(self, comp):
+        """int16 view of the padded plane for native MC reads (samples
+        always fit: internal bitdepth <= 14).  Under native16 decode the
+        surface is returned directly; otherwise a cached conversion of
+        the int32 plane (valid once the picture is reconstructed and
+        padded; invalidate_shadow16() resets it on buffer reuse)."""
+        cache = self._s16_slots()
+        if getattr(self, "_native16", False):
+            return cache[comp]
+        valid = getattr(self, "_s16_valid", None)
+        if valid is None:
+            valid = self._s16_valid = [False, False, False]
+        if cache[comp] is None or not valid[comp] or \
+                cache[comp].shape != self.planes[comp].shape:
             plane = self.planes[comp]
-            buf = np.empty(plane.shape, np.int16)
+            buf = cache[comp]
+            if buf is None or buf.shape != plane.shape:
+                buf = cache[comp] = np.empty(plane.shape, np.int16)
             from ..native import LIB
             if LIB is not None and hasattr(LIB, "xvcn_to_i16"):
                 LIB.xvcn_to_i16(plane.ctypes.data, plane.size,
                                 buf.ctypes.data)
             else:
                 np.copyto(buf, plane, casting="unsafe")
-            cache[comp] = buf
+            valid[comp] = True
         return cache[comp]
 
     def plane_view(self, comp):
         """(height, width) view of the visible plane area."""
+        self._materialize(comp)
         px, py = self.pad_x[comp], self.pad_y[comp]
         return self.planes[comp][py:py + self.height[comp],
                                  px:px + self.width[comp]]
 
     def padded_plane(self, comp):
+        self._materialize(comp)
         return self.planes[comp]
 
     def get_display_width(self, comp):
@@ -77,17 +130,22 @@ class YuvPicture:
         return h >> self.shift_y[comp] if comp else h
 
     def pad_border(self):
-        """Edge-replicate into the padding area (ref: yuv_pic.cc:118-150)."""
+        """Edge-replicate into the padding area (ref: yuv_pic.cc:118-150).
+        Pads whichever surface is authoritative (the int16 native
+        surface or the int32 planes)."""
         if self.width[0] == 0:
             return
+        native16 = getattr(self, "_native16", False)
         for c in range(3):
             px, py = self.pad_x[c], self.pad_y[c]
-            buf = self.planes[c]
+            buf = self._shadow16[c] if native16 else self.planes[c]
             h, w = self.height[c], self.width[c]
             buf[:py, px:px + w] = buf[py, px:px + w]
             buf[py + h:, px:px + w] = buf[py + h - 1, px:px + w]
             buf[:, :px] = buf[:, px:px + 1]
             buf[:, px + w:] = buf[:, px + w - 1:px + w]
+            if native16:
+                self._stale32[c] = True
 
     def to_bytes(self, out_bitdepth=None, dither=False):
         """Serialize visible (display) area to packed planar bytes.

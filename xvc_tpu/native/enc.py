@@ -15,8 +15,8 @@ import os
 import numpy as np
 
 from .. import constants as k
-from .pic import (XvcnRefPic as _XvcnRefPic, _fam_arrays, _plane_base,
-                  _restr_vec, _tx_tables, mvfield_shape)
+from .pic import (XvcnRefPic as _XvcnRefPic, _fam_arrays, _restr_vec,
+                  _surface_base, _tx_tables, mvfield_shape)
 
 
 class XvcnEncSettings(c.Structure):
@@ -139,11 +139,13 @@ def encode_picture(pic_encoder, segment, settings, base_qp):
     p.restr = restr_vec.ctypes.data
     p.tx_blob = tx_blob.ctypes.data
     p.tx_offsets = tx_offsets.ctypes.data
+    rec.begin_native16()  # recon goes to the int16 surface
     for comp in range(3):
-        ob, ostride = _plane_base(orig, comp)
-        rb, rstride = _plane_base(rec, comp)
-        p.orig_plane[comp] = ob
-        p.orig_stride[comp] = ostride
+        obuf = orig.padded_plane(comp)
+        p.orig_plane[comp] = obuf.ctypes.data + 4 * (
+            orig.pad_y[comp] * obuf.shape[1] + orig.pad_x[comp])
+        p.orig_stride[comp] = obuf.shape[1]
+        rb, rstride, _rbuf = _surface_base(rec, comp)
         p.rec_plane[comp] = rb
         p.rec_stride[comp] = rstride
     out = np.zeros(max(1 << 16, pd.width * pd.height * 4), dtype=np.uint8)
@@ -207,7 +209,7 @@ def encode_picture(pic_encoder, segment, settings, base_qp):
 
     keep_alive = [ctx.state, fam41, fam18, tx_blob, tx_offsets, restr_vec,
                   out, mvfield] + [orig.planes[i] for i in range(3)] + \
-                 [rec.planes[i] for i in range(3)]
+                 [rec.rec16(i) for i in range(3)]
     rpl = pd.ref_pic_lists
     for lst in range(2):
         n = min(rpl.get_num_ref_pics(lst), 5)
@@ -220,18 +222,16 @@ def encode_picture(pic_encoder, segment, settings, base_qp):
             rp.width = entry.rec_pic.width[0]
             rp.height = entry.rec_pic.height[0]
             for comp in range(3):
-                base, stride = _plane_base(entry.rec_pic, comp)
-                rp.plane[comp] = base
-                rp.stride[comp] = stride
-                keep_alive.append(entry.rec_pic.planes[comp])
-                # int16 MC shadow: ME re-reads reference windows many
-                # times per CU, so the one-pass convert amortizes well
-                if os.environ.get("XVC_MC16", "1") != "0":
-                    sh = entry.rec_pic.shadow16(comp)
-                    rp.plane16[comp] = sh.ctypes.data + 2 * (
-                        entry.rec_pic.pad_y[comp] * sh.shape[1] +
-                        entry.rec_pic.pad_x[comp])
-                    keep_alive.append(sh)
+                # int16 reference surface (ME fullpel SAD and MC both
+                # read it; the one-pass convert for Python-path pics
+                # amortizes over the many re-reads per CU)
+                sh = entry.rec_pic.shadow16(comp)
+                off16 = 2 * (entry.rec_pic.pad_y[comp] * sh.shape[1] +
+                             entry.rec_pic.pad_x[comp])
+                rp.plane16[comp] = sh.ctypes.data + off16
+                rp.plane[comp] = rp.plane16[comp]  # presence flag only
+                rp.stride[comp] = sh.shape[1]
+                keep_alive.append(sh)
             mf = getattr(entry.pic_data, "_xvcn_mvfield", None)
             if mf is not None and entry.rec_pic.width[0] == pd.width and \
                     entry.rec_pic.height[0] == pd.height:

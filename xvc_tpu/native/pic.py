@@ -175,7 +175,8 @@ class XvcnPostParams(c.Structure):
         ("checksum_ns", c.c_int64),
         ("out_ns", c.c_int64),
         ("stages", c.c_int32),
-        ("pad2_", c.c_int32),
+        ("elem16", c.c_int32),
+        ("pad3_", c.c_int32),
     ]
 
 
@@ -233,8 +234,12 @@ def postprocess(rec_pic, do_pad, want_shadow, checksum_method,
     num_comps = 3 if rec_pic.chroma_format != 0 else 1
     import numpy as np
     keep = []
+    native16 = getattr(rec_pic, "_native16", False)
+    p.elem16 = 1 if native16 else 0
     for comp in range(min(num_comps, 3)):
-        buf = rec_pic.padded_plane(comp)
+        # native16: pad/checksum/output run straight off the int16
+        # surface (no int32 materialization, no shadow refresh)
+        buf = rec_pic.rec16(comp) if native16 else             rec_pic.padded_plane(comp)
         p.plane[comp] = buf.ctypes.data
         p.stride[comp] = buf.shape[1]
         p.width[comp] = rec_pic.width[comp]
@@ -244,10 +249,8 @@ def postprocess(rec_pic, do_pad, want_shadow, checksum_method,
         p.pad_x[comp] = rec_pic.pad_x[comp]
         p.pad_y[comp] = rec_pic.pad_y[comp]
         keep.append(buf)
-        if want_shadow:
-            cache = getattr(rec_pic, "_shadow16", None)
-            if cache is None:
-                cache = rec_pic._shadow16 = [None, None, None]
+        if want_shadow and not native16:
+            cache = rec_pic._s16_slots()
             if cache[comp] is None or cache[comp].shape != buf.shape:
                 cache[comp] = np.empty(buf.shape, np.int16)
             p.shadow[comp] = cache[comp].ctypes.data
@@ -310,10 +313,11 @@ def postprocess(rec_pic, do_pad, want_shadow, checksum_method,
     return join
 
 
-def _plane_base(pic, comp):
-    buf = pic.padded_plane(comp)
-    off = (pic.pad_y[comp] * buf.shape[1] + pic.pad_x[comp]) * 4
-    return buf.ctypes.data + off, buf.shape[1]
+def _surface_base(pic, comp):
+    """Visible-origin pointer into the picture's int16 surface."""
+    buf = pic.rec16(comp)
+    off = (pic.pad_y[comp] * buf.shape[1] + pic.pad_x[comp]) * 2
+    return buf.ctypes.data + off, buf.shape[1], buf
 
 
 def mvfield_shape(width, height):
@@ -348,8 +352,9 @@ def decode_picture(pic_decoder, segment, bit_reader, qp):
     p.restr = restr_vec.ctypes.data
     p.tx_blob = tx_blob.ctypes.data
     p.tx_offsets = tx_offsets.ctypes.data
+    rec.begin_native16()  # int16 surface becomes authoritative
     for comp in range(3):
-        base, stride = _plane_base(rec, comp)
+        base, stride, _buf = _surface_base(rec, comp)
         p.rec_plane[comp] = base
         p.rec_stride[comp] = stride
     rows, cols = mvfield_shape(pd.width, pd.height)
@@ -392,19 +397,16 @@ def decode_picture(pic_decoder, segment, bit_reader, qp):
             rp.width = entry.rec_pic.width[0]
             rp.height = entry.rec_pic.height[0]
             for comp in range(3):
-                base, stride = _plane_base(entry.rec_pic, comp)
-                rp.plane[comp] = base
-                rp.stride[comp] = stride
-                keep_alive.append(entry.rec_pic.planes[comp])
-                # int16 shadow: halves MC load bandwidth and enables
-                # the int16 multiply-accumulate vector forms
-                # (XVC_MC16=0 forces the int32 path)
-                if os.environ.get("XVC_MC16", "1") != "0":
-                    sh = entry.rec_pic.shadow16(comp)
-                    rp.plane16[comp] = sh.ctypes.data + 2 * (
-                        entry.rec_pic.pad_y[comp] * sh.shape[1] +
-                        entry.rec_pic.pad_x[comp])
-                    keep_alive.append(sh)
+                # int16 reference surface: the rec16 surface of a
+                # native-decoded picture, or the cached conversion of a
+                # Python-path picture (shadow16 handles both)
+                sh = entry.rec_pic.shadow16(comp)
+                off16 = 2 * (entry.rec_pic.pad_y[comp] * sh.shape[1] +
+                             entry.rec_pic.pad_x[comp])
+                rp.plane16[comp] = sh.ctypes.data + off16
+                rp.plane[comp] = rp.plane16[comp]  # presence flag only
+                rp.stride[comp] = sh.shape[1]
+                keep_alive.append(sh)
             mf = getattr(entry.pic_data, "_xvcn_mvfield", None)
             if mf is not None:
                 rp.mvfield = mf.ctypes.data

@@ -1954,24 +1954,27 @@ enum CuAttr {
   A_NUM = A_MV0 + 16,
 };
 
+template <typename T>
 struct DeblockCtx {
-  int32_t* plane;     // current component plane (padded origin applied)
+  T* plane;           // current component plane (padded origin applied)
   int64_t stride;
   int bitdepth;
   int beta_offset, tc_offset;
   uint64_t dflags;
 };
 
-static inline int32_t DbGet(const DeblockCtx& c, int x, int y, int dir,
+template <typename T>
+static inline int32_t DbGet(const DeblockCtx<T>& c, int x, int y, int dir,
                             int i, int j) {
   // i = along edge, j = across edge (negative = p side)
   if (dir == 0) return c.plane[(int64_t)(y + i) * c.stride + x + j];
   return c.plane[(int64_t)(y + j) * c.stride + x + i];
 }
-static inline void DbSet(const DeblockCtx& c, int x, int y, int dir,
+template <typename T>
+static inline void DbSet(const DeblockCtx<T>& c, int x, int y, int dir,
                          int i, int j, int32_t v) {
-  if (dir == 0) c.plane[(int64_t)(y + i) * c.stride + x + j] = v;
-  else c.plane[(int64_t)(y + j) * c.stride + x + i] = v;
+  if (dir == 0) c.plane[(int64_t)(y + i) * c.stride + x + j] = (T)v;
+  else c.plane[(int64_t)(y + j) * c.stride + x + i] = (T)v;
 }
 
 static int DeblockBoundaryStrength(const int32_t* p, const int32_t* q,
@@ -2041,6 +2044,39 @@ static int DeblockBoundaryStrength(const int32_t* p, const int32_t* q,
 // layout.  All math mirrors the scalar loops op-for-op (bit-exact).
 struct Db4 { __m128i s[8]; };
 
+// sample-type-dispatched vector load/store: lanes are widened to int32
+// on load and packed back on store so ALL the filter math below is
+// shared between the int32 (Python-path) and int16 (native rec
+// surface) plane types, bit-exactly
+static inline __m128i db_load4(const int32_t* p) {
+  return _mm_loadu_si128((const __m128i*)p);
+}
+static inline __m128i db_load4(const int16_t* p) {
+  return _mm_cvtepi16_epi32(_mm_loadl_epi64((const __m128i*)p));
+}
+static inline void db_store4(int32_t* p, __m128i v) {
+  _mm_storeu_si128((__m128i*)p, v);
+}
+static inline void db_store4(int16_t* p, __m128i v) {
+  _mm_storel_epi64((__m128i*)p, _mm_packs_epi32(v, v));
+}
+static inline void db_load8(const int32_t* p, __m128i* lo, __m128i* hi) {
+  *lo = _mm_loadu_si128((const __m128i*)p);
+  *hi = _mm_loadu_si128((const __m128i*)(p + 4));
+}
+static inline void db_load8(const int16_t* p, __m128i* lo, __m128i* hi) {
+  __m128i r = _mm_loadu_si128((const __m128i*)p);
+  *lo = _mm_cvtepi16_epi32(r);
+  *hi = _mm_cvtepi16_epi32(_mm_srli_si128(r, 8));
+}
+static inline void db_store8(int32_t* p, __m128i lo, __m128i hi) {
+  _mm_storeu_si128((__m128i*)p, lo);
+  _mm_storeu_si128((__m128i*)(p + 4), hi);
+}
+static inline void db_store8(int16_t* p, __m128i lo, __m128i hi) {
+  _mm_storeu_si128((__m128i*)p, _mm_packs_epi32(lo, hi));
+}
+
 static inline void db4_transpose(__m128i r0, __m128i r1, __m128i r2,
                                  __m128i r3, __m128i* o) {
   __m128i t0 = _mm_unpacklo_epi32(r0, r1);
@@ -2053,19 +2089,18 @@ static inline void db4_transpose(__m128i r0, __m128i r1, __m128i r2,
   o[3] = _mm_unpackhi_epi64(t1, t3);
 }
 
-static inline Db4 db4_load(const DeblockCtx& c, int x, int y, int dir,
+template <typename T>
+static inline Db4 db4_load(const DeblockCtx<T>& c, int x, int y, int dir,
                            int g) {
   Db4 d;
   if (dir == 1) {
     for (int j = 0; j < 8; j++)
-      d.s[j] = _mm_loadu_si128((const __m128i*)(
-          c.plane + (int64_t)(y + j - 4) * c.stride + x + g));
+      d.s[j] = db_load4(c.plane + (int64_t)(y + j - 4) * c.stride + x + g);
   } else {
     __m128i lo[4], hi[4];
     for (int i = 0; i < 4; i++) {
-      const int32_t* r = c.plane + (int64_t)(y + g + i) * c.stride + x - 4;
-      lo[i] = _mm_loadu_si128((const __m128i*)r);
-      hi[i] = _mm_loadu_si128((const __m128i*)(r + 4));
+      const T* r = c.plane + (int64_t)(y + g + i) * c.stride + x - 4;
+      db_load8(r, &lo[i], &hi[i]);
     }
     db4_transpose(lo[0], lo[1], lo[2], lo[3], d.s);
     db4_transpose(hi[0], hi[1], hi[2], hi[3], d.s + 4);
@@ -2073,20 +2108,19 @@ static inline Db4 db4_load(const DeblockCtx& c, int x, int y, int dir,
   return d;
 }
 
-static inline void db4_store(const DeblockCtx& c, int x, int y, int dir,
+template <typename T>
+static inline void db4_store(const DeblockCtx<T>& c, int x, int y, int dir,
                              int g, const Db4& d) {
   if (dir == 1) {
     for (int j = 1; j < 7; j++)  // only p2..q2 can change
-      _mm_storeu_si128((__m128i*)(
-          c.plane + (int64_t)(y + j - 4) * c.stride + x + g), d.s[j]);
+      db_store4(c.plane + (int64_t)(y + j - 4) * c.stride + x + g, d.s[j]);
   } else {
     __m128i lo[4], hi[4];
     db4_transpose(d.s[0], d.s[1], d.s[2], d.s[3], lo);
     db4_transpose(d.s[4], d.s[5], d.s[6], d.s[7], hi);
     for (int i = 0; i < 4; i++) {
-      int32_t* r = c.plane + (int64_t)(y + g + i) * c.stride + x - 4;
-      _mm_storeu_si128((__m128i*)r, lo[i]);
-      _mm_storeu_si128((__m128i*)(r + 4), hi[i]);
+      T* r = c.plane + (int64_t)(y + g + i) * c.stride + x - 4;
+      db_store8(r, lo[i], hi[i]);
     }
   }
 }
@@ -2103,7 +2137,8 @@ static inline __m128i db_clip_px(__m128i v, __m128i vmax) {
 }
 #endif  // __AVX2__
 
-static bool DeblockCheckStrong(const DeblockCtx& c, int x, int y, int dir,
+template <typename T>
+static bool DeblockCheckStrong(const DeblockCtx<T>& c, int x, int y, int dir,
                                int i, int beta, int tc) {
   int p3 = DbGet(c, x, y, dir, i, -4), p0 = DbGet(c, x, y, dir, i, -1);
   int q0 = DbGet(c, x, y, dir, i, 0), q3 = DbGet(c, x, y, dir, i, 3);
@@ -2111,8 +2146,10 @@ static bool DeblockCheckStrong(const DeblockCtx& c, int x, int y, int dir,
          abs(p0 - q0) < ((tc * 5 + 1) >> 1);
 }
 
-static void DeblockFilterEdgeLuma(const DeblockCtx& c, int x, int y, int dir,
-                                  int subblock_size, int bs, int qp) {
+template <typename T>
+static void DeblockFilterEdgeLuma(const DeblockCtx<T>& c, int x, int y,
+                                  int dir, int subblock_size, int bs,
+                                  int qp) {
   const int group = 4;
   int bitdepth_shift = c.bitdepth - 8;
   int sample_max = (1 << c.bitdepth) - 1;
@@ -2333,7 +2370,8 @@ static void DeblockFilterEdgeLuma(const DeblockCtx& c, int x, int y, int dir,
   }
 }
 
-static void DeblockFilterEdgeChroma(DeblockCtx c, int32_t* planes[2],
+template <typename T>
+static void DeblockFilterEdgeChroma(DeblockCtx<T> c, T* const planes[2],
                                     int64_t strides[2], int x, int y,
                                     int scale_x, int scale_y, int dir,
                                     int subblock_size, int qp) {
@@ -2367,23 +2405,24 @@ static void DeblockFilterEdgeChroma(DeblockCtx c, int32_t* planes[2],
 }
 
 // One direction pass over one CU tree.
-XVCN_API void xvcn_deblock_pass(
-    int32_t* y_plane, int64_t y_stride,
-    int32_t* u_plane, int64_t u_stride,
-    int32_t* v_plane, int64_t v_stride,
+template <typename T>
+static void DeblockPassT(
+    T* y_plane, int64_t y_stride,
+    T* u_plane, int64_t u_stride,
+    T* v_plane, int64_t v_stride,
     int pic_width, int pic_height, int bitdepth, int csx, int csy,
     int ctu_size, int num_ctu_x, int num_ctu_y, int subblock_size,
     int deblock_luma, int deblock_chroma, int pred_type_bi,
     int beta_offset, int tc_offset, uint64_t dflags, int direction,
     const int32_t* cu_map, int map_stride, const int32_t* cu_attr) {
-  DeblockCtx luma_ctx;
+  DeblockCtx<T> luma_ctx;
   luma_ctx.plane = y_plane;
   luma_ctx.stride = y_stride;
   luma_ctx.bitdepth = bitdepth;
   luma_ctx.beta_offset = beta_offset;
   luma_ctx.tc_offset = tc_offset;
   luma_ctx.dflags = dflags;
-  int32_t* cplanes[2] = {u_plane, v_plane};
+  T* cplanes[2] = {u_plane, v_plane};
   int64_t cstrides[2] = {u_stride, v_stride};
 
   for (int ctu_idx = 0; ctu_idx < num_ctu_x * num_ctu_y; ctu_idx++) {
@@ -2426,6 +2465,22 @@ XVCN_API void xvcn_deblock_pass(
       }
     }
   }
+}
+
+XVCN_API void xvcn_deblock_pass(
+    int32_t* y_plane, int64_t y_stride, int32_t* u_plane, int64_t u_stride,
+    int32_t* v_plane, int64_t v_stride, int pic_width, int pic_height,
+    int bitdepth, int csx, int csy, int ctu_size, int num_ctu_x,
+    int num_ctu_y, int subblock_size, int deblock_luma, int deblock_chroma,
+    int pred_type_bi, int beta_offset, int tc_offset, uint64_t dflags,
+    int direction, const int32_t* cu_map, int map_stride,
+    const int32_t* cu_attr) {
+  DeblockPassT<int32_t>(y_plane, y_stride, u_plane, u_stride, v_plane,
+                        v_stride, pic_width, pic_height, bitdepth, csx, csy,
+                        ctu_size, num_ctu_x, num_ctu_y, subblock_size,
+                        deblock_luma, deblock_chroma, pred_type_bi,
+                        beta_offset, tc_offset, dflags, direction, cu_map,
+                        map_stride, cu_attr);
 }
 
 // ---- distortion metrics (ops/metrics.py, ref: sample_metric.cc) ----
@@ -2516,8 +2571,16 @@ static inline int64_t hsum256(__m256i v) {
 }
 
 // one bw x bh SATD block sum, bw in {4, 8, 16}, bh <= 16
-static int64_t SatdBlockSumAvx(const int32_t* s1, int64_t st1,
-                               const int32_t* s2, int64_t st2,
+static inline __m256i satd_load8(const int32_t* p) {
+  return _mm256_loadu_si256((const __m256i*)p);
+}
+static inline __m256i satd_load8(const int16_t* p) {
+  return _mm256_cvtepi16_epi32(_mm_loadu_si128((const __m128i*)p));
+}
+
+template <typename T1, typename T2>
+static int64_t SatdBlockSumAvx(const T1* s1, int64_t st1,
+                               const T2* s2, int64_t st2,
                                int bw, int bh, int32_t dcs) {
   const __m256i vdc = _mm256_set1_epi32(dcs);
   if (bw == 8) {
@@ -2525,8 +2588,8 @@ static int64_t SatdBlockSumAvx(const int32_t* s1, int64_t st1,
     for (int i = 0; i < bh; i++)
       v[i] = _mm256_sub_epi32(
           _mm256_sub_epi32(
-              _mm256_loadu_si256((const __m256i*)(s1 + i * st1)),
-              _mm256_loadu_si256((const __m256i*)(s2 + i * st2))),
+              satd_load8(s1 + i * st1),
+              satd_load8(s2 + i * st2)),
           vdc);
     for (int len = 1; len < bh; len <<= 1)
       for (int i = 0; i < bh; i += len << 1)
@@ -2545,13 +2608,13 @@ static int64_t SatdBlockSumAvx(const int32_t* s1, int64_t st1,
     for (int i = 0; i < bh; i++) {
       v0[i] = _mm256_sub_epi32(
           _mm256_sub_epi32(
-              _mm256_loadu_si256((const __m256i*)(s1 + i * st1)),
-              _mm256_loadu_si256((const __m256i*)(s2 + i * st2))),
+              satd_load8(s1 + i * st1),
+              satd_load8(s2 + i * st2)),
           vdc);
       v1[i] = _mm256_sub_epi32(
           _mm256_sub_epi32(
-              _mm256_loadu_si256((const __m256i*)(s1 + i * st1 + 8)),
-              _mm256_loadu_si256((const __m256i*)(s2 + i * st2 + 8))),
+              satd_load8(s1 + i * st1 + 8),
+              satd_load8(s2 + i * st2 + 8)),
           vdc);
     }
     for (int len = 1; len < bh; len <<= 1)
@@ -2597,7 +2660,8 @@ static int64_t SatdBlockSumAvx(const int32_t* s1, int64_t st1,
 }
 #endif  // __AVX2__
 
-static int64_t ComputeSatd(const int32_t* s1, int64_t st1, const int32_t* s2,
+template <typename T1, typename T2>
+static int64_t ComputeSatd(const T1* s1, int64_t st1, const T2* s2,
                            int64_t st2, int w, int h, int bitdepth,
                            int64_t dc_sub) {
   int bw, bh;
@@ -2643,9 +2707,10 @@ static int64_t TruncDiv(int64_t a, int64_t b) {
   return a >= 0 ? q : -q;
 }
 
+template <typename T1, typename T2>
 static int64_t StructuralBlock(int z, double strength, int size,
-                               const int32_t* s1, int64_t st1,
-                               const int32_t* s2, int64_t st2, int bitdepth) {
+                               const T1* s1, int64_t st1,
+                               const T2* s2, int64_t st2, int bitdepth) {
   int64_t n = (int64_t)size * size;
   int shift = 2 * (bitdepth - 8);
   int64_t c1 = ((n * n * 26634) >> 12) << shift;
@@ -2682,8 +2747,9 @@ static int64_t StructuralBlock(int z, double strength, int size,
   return ((int64_t)t) >> 6;
 }
 
-XVCN_API int64_t xvcn_metric(
-    int metric_type, const int32_t* s1, int64_t st1, const int32_t* s2,
+template <typename T1, typename T2>
+static int64_t MetricT(
+    int metric_type, const T1* s1, int64_t st1, const T2* s2,
     int64_t st2, int w, int h, int bitdepth, int qp_raw_luma,
     double structural_strength) {
   int64_t dist = 0;
@@ -2750,6 +2816,15 @@ XVCN_API int64_t xvcn_metric(
     default:
       return -1;
   }
+}
+
+XVCN_API int64_t xvcn_metric(
+    int metric_type, const int32_t* s1, int64_t st1, const int32_t* s2,
+    int64_t st2, int w, int h, int bitdepth, int qp_raw_luma,
+    double structural_strength) {
+  return MetricT<int32_t, int32_t>(metric_type, s1, st1, s2, st2, w, h,
+                                   bitdepth, qp_raw_luma,
+                                   structural_strength);
 }
 
 // ---- intra prediction (ops/intra_pred.py, ref: intra_prediction.cc) ----
@@ -3006,6 +3081,17 @@ static inline __m256i mc_trunc16(__m256i v) {  // (int16_t) cast per lane
   return _mm256_srai_epi32(_mm256_slli_epi32(v, 16), 16);
 }
 
+// output-type-dispatched 8-lane store (int16 rec surfaces store packed;
+// values at this point always fit int16)
+static inline void mc_store8(int32_t* out, __m256i v) {
+  _mm256_storeu_si256((__m256i*)out, v);
+}
+static inline void mc_store8(int16_t* out, __m256i v) {
+  __m128i p = _mm_packs_epi32(_mm256_castsi256_si128(v),
+                              _mm256_extracti128_si256(v, 1));
+  _mm_storeu_si128((__m128i*)out, p);
+}
+
 static inline void mc_pack_pairs(const int16_t* f, int pairs,
                                  __m128i* fp) {
   for (int p = 0; p < pairs; p++)
@@ -3014,11 +3100,11 @@ static inline void mc_pack_pairs(const int16_t* f, int pairs,
 }
 
 // w must be a multiple of 8; shift1 must be >= 0 (bitdepth >= 8).
-template <int TAPS>
+template <int TAPS, typename D>
 static void xvcn_mc_filter_i16(
     int mode, const int16_t* plane, int64_t stride, int x0, int y0,
     int w, int h, int bitdepth, const int16_t* fxs, const int16_t* fys,
-    int frac_x, int frac_y, int32_t* out, int64_t ostride) {
+    int frac_x, int frac_y, D* out, int64_t ostride) {
   const int max_val = (1 << bitdepth) - 1;
   const int half = TAPS / 2 - 1;
   const int shift1 = kMcFilterPrecision - (kMcInternalPrecision - bitdepth);
@@ -3039,7 +3125,7 @@ static void xvcn_mc_filter_i16(
           v = _mm256_srai_epi32(_mm256_add_epi32(v, voff),
                                 kMcFilterPrecision);
           v = _mm256_min_epi32(_mm256_max_epi32(v, vzero), vmax);
-          _mm256_storeu_si256((__m256i*)(out + i * ostride + j), v);
+          mc_store8(out + i * ostride + j, v);
         }
     } else {
       const __m256i voff = _mm256_set1_epi32(offset1);
@@ -3047,8 +3133,7 @@ static void xvcn_mc_filter_i16(
         for (int j = 0; j < w; j += 8) {
           __m256i v = mc_h_sums8<TAPS>(s + i * stride + j, fx);
           v = _mm256_srai_epi32(_mm256_add_epi32(v, voff), shift1);
-          _mm256_storeu_si256((__m256i*)(out + i * ostride + j),
-                              mc_trunc16(v));
+          mc_store8(out + i * ostride + j, mc_trunc16(v));
         }
     }
     return;
@@ -3064,7 +3149,7 @@ static void xvcn_mc_filter_i16(
           v = mc_trunc16(_mm256_srai_epi32(_mm256_add_epi32(v, voff),
                                            kMcFilterPrecision));
           v = _mm256_min_epi32(_mm256_max_epi32(v, vzero), vmax);
-          _mm256_storeu_si256((__m256i*)(out + i * ostride + j), v);
+          mc_store8(out + i * ostride + j, v);
         }
     } else {
       const __m256i voff = _mm256_set1_epi32(offset1);
@@ -3072,8 +3157,7 @@ static void xvcn_mc_filter_i16(
         for (int j = 0; j < w; j += 8) {
           __m256i v = mc_v_sums8<TAPS>(s + i * stride + j, stride, fy);
           v = _mm256_srai_epi32(_mm256_add_epi32(v, voff), shift1);
-          _mm256_storeu_si256((__m256i*)(out + i * ostride + j),
-                              mc_trunc16(v));
+          mc_store8(out + i * ostride + j, mc_trunc16(v));
         }
     }
     return;
@@ -3104,14 +3188,14 @@ static void xvcn_mc_filter_i16(
         v = mc_trunc16(_mm256_srai_epi32(_mm256_add_epi32(v, voff),
                                          shift2));
         v = _mm256_min_epi32(_mm256_max_epi32(v, vzero), vmax);
-        _mm256_storeu_si256((__m256i*)(out + i * ostride + j), v);
+        mc_store8(out + i * ostride + j, v);
       }
   } else {
     for (int i = 0; i < h; i++)
       for (int j = 0; j < w; j += 8) {
         __m256i v = mc_v_sums8<TAPS>(tmp + i * w + j, w, fy);
         v = mc_trunc16(_mm256_srai_epi32(v, kMcFilterPrecision));
-        _mm256_storeu_si256((__m256i*)(out + i * ostride + j), v);
+        mc_store8(out + i * ostride + j, v);
       }
   }
 }
@@ -3125,11 +3209,11 @@ static void xvcn_mc_filter_i16(
 // the widening int16 multiply-accumulate (pmaddwd-class) forms, the
 // same reason the reference keeps its frame store in int16
 // (ref: src/xvc_common_lib/sample_buffer.h + simd/inter_prediction_simd.cc).
-template <typename S, int TAPS>
+template <typename S, int TAPS, typename D>
 static void xvcn_mc_filter(
     int mode, const S* plane, int64_t stride, int x0, int y0,
     int w, int h, int bitdepth, const int16_t* fx, const int16_t* fy,
-    int frac_x, int frac_y, int32_t* out, int64_t ostride) {
+    int frac_x, int frac_y, D* out, int64_t ostride) {
   int max_val = (1 << bitdepth) - 1;
   const int half = TAPS / 2 - 1;
   int shift1 = kMcFilterPrecision - (kMcInternalPrecision - bitdepth);
@@ -3148,7 +3232,7 @@ static void xvcn_mc_filter(
           int32_t v = (sum + offset) >> shift;
           if (v < 0) v = 0;
           if (v > max_val) v = max_val;
-          out[i * ostride + j] = (int32_t)v;
+          out[i * ostride + j] = (D)v;
         }
     } else {
       for (int i = 0; i < h; i++)
@@ -3156,7 +3240,7 @@ static void xvcn_mc_filter(
           int32_t sum = 0;
           for (int t2 = 0; t2 < TAPS; t2++)
             sum += fx[t2] * (int32_t)s[i * stride + j + t2];
-          out[i * ostride + j] = (int16_t)((sum + offset1) >> shift1);
+          out[i * ostride + j] = (D)(int16_t)((sum + offset1) >> shift1);
         }
     }
     return;
@@ -3175,7 +3259,7 @@ static void xvcn_mc_filter(
           int v = (int16_t)((sum + offset) >> shift);
           if (v < 0) v = 0;
           if (v > max_val) v = max_val;
-          out[i * ostride + j] = v;
+          out[i * ostride + j] = (D)v;
         }
     } else {
       for (int i = 0; i < h; i++)
@@ -3183,7 +3267,7 @@ static void xvcn_mc_filter(
           int32_t sum = 0;
           for (int t2 = 0; t2 < TAPS; t2++)
             sum += fy[t2] * (int32_t)s[(i + t2) * stride + j];
-          out[i * ostride + j] = (int16_t)((sum + offset1) >> shift1);
+          out[i * ostride + j] = (D)(int16_t)((sum + offset1) >> shift1);
         }
     }
     return;
@@ -3216,7 +3300,7 @@ static void xvcn_mc_filter(
         int v = (int16_t)((sum + offset2) >> shift2);
         if (v < 0) v = 0;
         if (v > max_val) v = max_val;
-        out[i * ostride + j] = v;
+        out[i * ostride + j] = (D)v;
       }
   } else {
     for (int i = 0; i < h; i++)
@@ -3224,16 +3308,16 @@ static void xvcn_mc_filter(
         int32_t sum = 0;
         for (int t2 = 0; t2 < TAPS; t2++)
           sum += fy[t2] * tmp[(i + t2) * w + j];
-        out[i * ostride + j] = (int16_t)(sum >> kMcFilterPrecision);
+        out[i * ostride + j] = (D)(int16_t)(sum >> kMcFilterPrecision);
       }
   }
 }
 
-template <typename S>
+template <typename S, typename D>
 static void xvcn_mc_unipred_t(
     int mode, const S* plane, int64_t stride, int x0, int y0,
     int w, int h, int frac_x, int frac_y, int bitdepth, int is_luma,
-    int high_prec, int32_t* out, int64_t ostride) {
+    int high_prec, D* out, int64_t ostride) {
   if (frac_x == 0 && frac_y == 0) {
     const S* src0 = plane + (int64_t)y0 * stride + x0;
     int max_val = (1 << bitdepth) - 1;
@@ -3243,14 +3327,14 @@ static void xvcn_mc_unipred_t(
           int v = src0[i * stride + j];
           if (v < 0) v = 0;
           if (v > max_val) v = max_val;
-          out[i * ostride + j] = v;
+          out[i * ostride + j] = (D)v;
         }
     } else {
       int shift = kMcInternalPrecision - bitdepth;
       for (int i = 0; i < h; i++)
         for (int j = 0; j < w; j++) {
           int16_t v = (int16_t)((int32_t)src0[i * stride + j] << shift);
-          out[i * ostride + j] = (int16_t)(v - kMcInternalOffset);
+          out[i * ostride + j] = (D)(int16_t)(v - kMcInternalOffset);
         }
     }
     return;
@@ -3267,13 +3351,13 @@ static void xvcn_mc_unipred_t(
                                   : kMcLumaFilter[frac_y];
 #if defined(__AVX2__)
     if (i16_fast) {
-      xvcn_mc_filter_i16<8>(mode, (const int16_t*)(const void*)plane,
+      xvcn_mc_filter_i16<8, D>(mode, (const int16_t*)(const void*)plane,
                             stride, x0, y0, w, h, bitdepth, fx, fy,
                             frac_x, frac_y, out, ostride);
       return;
     }
 #endif
-    xvcn_mc_filter<S, 8>(mode, plane, stride, x0, y0, w, h, bitdepth, fx,
+    xvcn_mc_filter<S, 8, D>(mode, plane, stride, x0, y0, w, h, bitdepth, fx,
                          fy, frac_x, frac_y, out, ostride);
   } else {
     const int16_t* fx = high_prec ? kMcChromaFilterHp[frac_x]
@@ -3282,13 +3366,13 @@ static void xvcn_mc_unipred_t(
                                   : kMcChromaFilter[frac_y];
 #if defined(__AVX2__)
     if (i16_fast) {
-      xvcn_mc_filter_i16<4>(mode, (const int16_t*)(const void*)plane,
+      xvcn_mc_filter_i16<4, D>(mode, (const int16_t*)(const void*)plane,
                             stride, x0, y0, w, h, bitdepth, fx, fy,
                             frac_x, frac_y, out, ostride);
       return;
     }
 #endif
-    xvcn_mc_filter<S, 4>(mode, plane, stride, x0, y0, w, h, bitdepth, fx,
+    xvcn_mc_filter<S, 4, D>(mode, plane, stride, x0, y0, w, h, bitdepth, fx,
                          fy, frac_x, frac_y, out, ostride);
   }
 }
@@ -3297,9 +3381,9 @@ XVCN_API void xvcn_mc_unipred(
     int mode, const int32_t* plane, int64_t stride, int x0, int y0,
     int w, int h, int frac_x, int frac_y, int bitdepth, int is_luma,
     int high_prec, int32_t* out, int64_t ostride) {
-  xvcn_mc_unipred_t<int32_t>(mode, plane, stride, x0, y0, w, h, frac_x,
-                             frac_y, bitdepth, is_luma, high_prec, out,
-                             ostride);
+  xvcn_mc_unipred_t<int32_t, int32_t>(mode, plane, stride, x0, y0, w, h,
+                                      frac_x, frac_y, bitdepth, is_luma,
+                                      high_prec, out, ostride);
 }
 
 // ---------------------------------------------------------------------------
@@ -3503,7 +3587,8 @@ XVCN_API void xvcn_fwd_transform(
 // residual into resi_out (used by the inter resi-domain metric), and
 // returns the unweighted distortion from xvcn_metric.
 // ---------------------------------------------------------------------------
-XVCN_API int64_t xvcn_recon_dist(
+template <typename R>
+static int64_t ReconDistT(
     const int32_t* levels, int height, int width,
     int dq_scale, int dq_shift, int tx_kind,
     const int32_t* m1, const int32_t* m2,
@@ -3511,7 +3596,7 @@ XVCN_API int64_t xvcn_recon_dist(
     int skip_shift, int skip_scale, int dc_shift,
     const int32_t* pred, int64_t pred_stride,
     const int32_t* orig, int64_t orig_stride,
-    int32_t* rec, int64_t rec_stride,
+    R* rec, int64_t rec_stride,
     int32_t* resi_out, int bitdepth, int metric_kind, int metric_qp,
     double struct_str) {
   int n = height * width;
@@ -3565,11 +3650,31 @@ XVCN_API int64_t xvcn_recon_dist(
       int v = pred[i * pred_stride + j] + resi_out[i * width + j];
       if (v < 0) v = 0;
       if (v > max_val) v = max_val;
-      rec[i * rec_stride + j] = v;
+      rec[i * rec_stride + j] = (R)v;
     }
   }
-  return xvcn_metric(metric_kind, orig, orig_stride, rec, rec_stride,
-                     width, height, bitdepth, metric_qp, struct_str);
+  return MetricT<int32_t, R>(metric_kind, orig, orig_stride, rec,
+                             rec_stride, width, height, bitdepth,
+                             metric_qp, struct_str);
+}
+
+XVCN_API int64_t xvcn_recon_dist(
+    const int32_t* levels, int height, int width,
+    int dq_scale, int dq_shift, int tx_kind,
+    const int32_t* m1, const int32_t* m2,
+    int shift1, int shift2, int zo_min,
+    int skip_shift, int skip_scale, int dc_shift,
+    const int32_t* pred, int64_t pred_stride,
+    const int32_t* orig, int64_t orig_stride,
+    int32_t* rec, int64_t rec_stride,
+    int32_t* resi_out, int bitdepth, int metric_kind, int metric_qp,
+    double struct_str) {
+  return ReconDistT<int32_t>(levels, height, width, dq_scale, dq_shift,
+                             tx_kind, m1, m2, shift1, shift2, zo_min,
+                             skip_shift, skip_scale, dc_shift, pred,
+                             pred_stride, orig, orig_stride, rec,
+                             rec_stride, resi_out, bitdepth, metric_kind,
+                             metric_qp, struct_str);
 }
 
 // ---------------------------------------------------------------------------
