@@ -129,7 +129,7 @@ def _build() -> str:
             if os.path.exists(so_path):
                 return so_path
     tmp = so_path + f".tmp{os.getpid()}"
-    base = ["g++", "-std=c++14", "-O3", "-fPIC", "-shared",
+    base = ["g++", "-std=c++14", "-O3", "-g", "-fPIC", "-shared",
             "-fvisibility=hidden"]
     if sanitize:
         # memory/control-flow UB only: the arithmetic set
