@@ -188,7 +188,12 @@ class PictureDecoder:
         from ..engine import use_jax_dsp, use_native_pic_decode
         from ..profiling import span
         jax_dsp = use_jax_dsp()
-        native_pic_decode = not jax_dsp and use_native_pic_decode()
+        # int16 surfaces hold samples up to 14-bit (the encoder-side
+        # maximum, ref: xvcenc.cc bitdepth args); streams whose header
+        # claims 15/16-bit (unproducible, but the header field allows
+        # them) take the Python int32 path
+        native_pic_decode = not jax_dsp and use_native_pic_decode() and \
+            pd.bitdepth <= 14
         pd.init(segment, qp, True, light=native_pic_decode)
         success = True
         if native_pic_decode:

@@ -408,6 +408,26 @@ def deblock_picture_jax(filt):
     planes_dev = {comp: batch.get(h) for comp, h in plane_handles.items()}
     if luma_dev is not None:
         planes_dev[0] = luma_dev
+
+    # CTU-row sharding over the mesh (SURVEY.md §2.5 TPU mapping): each
+    # filter direction is embarrassingly parallel across the along-edge
+    # axis, so the plane is sharded on rows for the vertical-edge pass
+    # and re-sharded (XLA all-to-all over ICI) after the transpose so
+    # the horizontal-edge pass is row-parallel again — the communication
+    # pattern standing in for the reference's single-host in-picture
+    # threading.  Bit-exact: the scan dependency runs along the
+    # unsharded axis.  (tests/test_sharding.py pins sharded==unsharded.)
+    from .. import engine
+    mesh = engine.get_mesh()
+
+    def shard_rows(x):
+        if mesh is None or x.shape[0] % mesh.size != 0:
+            return x
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+        return jax.device_put(
+            x, NamedSharding(mesh, PartitionSpec("blk", None)))
+
     for item in work:
         direction, kind = item[0], item[1]
         if kind == "luma":
@@ -417,6 +437,7 @@ def deblock_picture_jax(filt):
                 h, w = w, h
             fn = make_luma_pass(h, w, sbs, bd, flags, hxs[3])
             pl = planes_dev[0].T if direction == 1 else planes_dev[0]
+            pl = shard_rows(pl)
             f32 = batch.flat(hxs)[0]
             pl = fn(pl, f32, hxs[1], hmask[1], htc[1], hbeta[1])
             planes_dev[0] = pl.T if direction == 1 else pl
@@ -428,6 +449,7 @@ def deblock_picture_jax(filt):
             for comp in (1, 2):
                 pl = planes_dev[comp].T if direction == 1 else \
                     planes_dev[comp]
+                pl = shard_rows(pl)
                 pl = fn(pl, f32, hedges[1], happly[1], htc[1])
                 planes_dev[comp] = pl.T if direction == 1 else pl
 
