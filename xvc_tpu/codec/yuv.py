@@ -27,17 +27,25 @@ class YuvPicture:
         self.width = [width, width >> sx, width >> sx]
         self.height = [height, height >> sy, height >> sy]
         self.pad = [(PAD, PAD >> sx), (PAD, PAD >> sy)]
-        self.planes = []
-        for c in range(3):
-            px = PAD >> self.shift_x[c] if padding else 0
-            py = PAD >> self.shift_y[c] if padding else 0
-            buf = np.zeros((self.height[c] + 2 * py,
-                            self.width[c] + 2 * px), dtype=np.int32)
-            self.planes.append(buf)
         self.pad_x = [PAD >> self.shift_x[c] if padding else 0
                       for c in range(3)]
         self.pad_y = [PAD >> self.shift_y[c] if padding else 0
                       for c in range(3)]
+        self._plane_shapes = [
+            (self.height[c] + 2 * self.pad_y[c],
+             self.width[c] + 2 * self.pad_x[c]) for c in range(3)]
+        # int32 planes are allocated lazily: a native16 decode session
+        # only ever touches the int16 surfaces, so eagerly zeroing three
+        # int32 planes per fresh picture buffer (~33 MB at 1080p) was
+        # pure page-fault overhead in the decode loop
+        self._planes = None
+
+    @property
+    def planes(self):
+        if self._planes is None:
+            self._planes = [np.zeros(self._plane_shapes[c], dtype=np.int32)
+                            for c in range(3)]
+        return self._planes
 
     def _s16_slots(self):
         cache = getattr(self, "_shadow16", None)
@@ -53,12 +61,12 @@ class YuvPicture:
         materialized from it on demand for Python consumers."""
         cache = self._s16_slots()
         if cache[comp] is None or \
-                cache[comp].shape != self.planes[comp].shape:
+                cache[comp].shape != self._plane_shapes[comp]:
             # zero-initialized so the padding area's history mirrors the
             # int32 planes exactly: never-padded (non-reference) pictures
             # expose deterministic zero borders to the output resampler,
             # matching the Python twin and the reference decoder
-            cache[comp] = np.zeros(self.planes[comp].shape, np.int16)
+            cache[comp] = np.zeros(self._plane_shapes[comp], np.int16)
         return cache[comp]
 
     def begin_native16(self):

@@ -358,7 +358,14 @@ def decode_picture(pic_decoder, segment, bit_reader, qp):
         p.rec_plane[comp] = base
         p.rec_stride[comp] = stride
     rows, cols = mvfield_shape(pd.width, pd.height)
-    mvfield = np.zeros(rows * cols * 8, dtype=np.int32)
+    # per-slot pooled motion-field buffer (the native decoder memsets
+    # it before filling, xvcn_pic.inc, so no Python-side zeroing); each
+    # LIVE picture needs its own field, and a decoder slot is only
+    # reused once its picture left the reference window
+    mvfield = getattr(pic_decoder, "_mvfield_buf", None)
+    if mvfield is None or mvfield.size != rows * cols * 8:
+        mvfield = np.empty(rows * cols * 8, dtype=np.int32)
+        pic_decoder._mvfield_buf = mvfield
     p.out_mvfield = mvfield.ctypes.data
     p.out_mf_stride = cols
     p.width = pd.width
