@@ -1,9 +1,13 @@
-"""Top-down recursive RDO over quad + binary splits.
+"""Pure-Python validation twin of the native CU encoder.
 
-Behavioral equivalent of the reference CU encoder
-(ref: src/xvc_enc_lib/cu_encoder.cc).  Split candidates are evaluated
-with cloned writer state and reconstruct-state snapshots, mirroring the
-reference mutate-and-backtrack flow on shared picture buffers.
+The production encode path is the native whole-picture RDO
+(`native/xvcn_enc.inc`, dispatched from `picture_encoder.py`): one C++
+call per picture runs mode search, ME, transform RD and the entropy
+write.  This module is the byte-identical Python twin used for
+validation, fallback on unsupported configs, and as the readable spec
+of the search: top-down recursive RDO over quad + binary splits with
+cloned writer state and reconstruct-state snapshots
+(ref: src/xvc_enc_lib/cu_encoder.cc behavioral contract).
 """
 import math
 
