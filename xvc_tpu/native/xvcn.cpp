@@ -3099,7 +3099,47 @@ static inline void mc_pack_pairs(const int16_t* f, int pairs,
                            ((int32_t)f[2 * p + 1] << 16));
 }
 
-// w must be a multiple of 8; shift1 must be >= 0 (bitdepth >= 8).
+// 4-lane tails for w % 8 == 4 blocks (4-wide luma from binary splits,
+// 4-wide chroma of 8x8 CUs).  64-bit loads are exact: no reads beyond
+// the TAPS-tap support of the 4 outputs.
+template <int TAPS>
+static inline __m128i mc_h_sums4(const int16_t* s, const __m128i* fp) {
+  __m128i e = _mm_setzero_si128(), o = _mm_setzero_si128();
+  for (int p = 0; p < TAPS / 2; p++) {
+    e = _mm_add_epi32(e, _mm_madd_epi16(
+        _mm_loadl_epi64((const __m128i*)(s + 2 * p)), fp[p]));
+    o = _mm_add_epi32(o, _mm_madd_epi16(
+        _mm_loadl_epi64((const __m128i*)(s + 2 * p + 1)), fp[p]));
+  }
+  return _mm_unpacklo_epi32(e, o);
+}
+
+template <int TAPS>
+static inline __m128i mc_v_sums4(const int16_t* s, int64_t stride,
+                                 const __m128i* fp) {
+  __m128i acc = _mm_setzero_si128();
+  for (int p = 0; p < TAPS / 2; p++) {
+    __m128i a = _mm_loadl_epi64((const __m128i*)(s + (2 * p) * stride));
+    __m128i b = _mm_loadl_epi64(
+        (const __m128i*)(s + (2 * p + 1) * stride));
+    acc = _mm_add_epi32(acc, _mm_madd_epi16(_mm_unpacklo_epi16(a, b),
+                                            fp[p]));
+  }
+  return acc;
+}
+
+static inline __m128i mc_trunc16_4(__m128i v) {  // (int16_t) cast per lane
+  return _mm_srai_epi32(_mm_slli_epi32(v, 16), 16);
+}
+
+static inline void mc_store4(int32_t* out, __m128i v) {
+  _mm_storeu_si128((__m128i*)out, v);
+}
+static inline void mc_store4(int16_t* out, __m128i v) {
+  _mm_storel_epi64((__m128i*)out, _mm_packs_epi32(v, v));
+}
+
+// w must be a multiple of 4; shift1 must be >= 0 (bitdepth >= 8).
 template <int TAPS, typename D>
 static void xvcn_mc_filter_i16(
     int mode, const int16_t* plane, int64_t stride, int x0, int y0,
@@ -3115,26 +3155,44 @@ static void xvcn_mc_filter_i16(
   mc_pack_pairs(fxs, TAPS / 2, fx);
   mc_pack_pairs(fys, TAPS / 2, fy);
 
+  const int w8 = w & ~7;
+  const __m128i vzero4 = _mm_setzero_si128();
+  const __m128i vmax4 = _mm_set1_epi32(max_val);
   if (frac_y == 0) {
     const int16_t* s = plane + (int64_t)y0 * stride + x0 - half;
     if (mode == 0) {
       const __m256i voff = _mm256_set1_epi32(1 << (kMcFilterPrecision - 1));
-      for (int i = 0; i < h; i++)
-        for (int j = 0; j < w; j += 8) {
+      const __m128i voff4 = _mm256_castsi256_si128(voff);
+      for (int i = 0; i < h; i++) {
+        for (int j = 0; j < w8; j += 8) {
           __m256i v = mc_h_sums8<TAPS>(s + i * stride + j, fx);
           v = _mm256_srai_epi32(_mm256_add_epi32(v, voff),
                                 kMcFilterPrecision);
           v = _mm256_min_epi32(_mm256_max_epi32(v, vzero), vmax);
           mc_store8(out + i * ostride + j, v);
         }
+        if (w & 4) {
+          __m128i v = mc_h_sums4<TAPS>(s + i * stride + w8, fx);
+          v = _mm_srai_epi32(_mm_add_epi32(v, voff4), kMcFilterPrecision);
+          v = _mm_min_epi32(_mm_max_epi32(v, vzero4), vmax4);
+          mc_store4(out + i * ostride + w8, v);
+        }
+      }
     } else {
       const __m256i voff = _mm256_set1_epi32(offset1);
-      for (int i = 0; i < h; i++)
-        for (int j = 0; j < w; j += 8) {
+      const __m128i voff4 = _mm256_castsi256_si128(voff);
+      for (int i = 0; i < h; i++) {
+        for (int j = 0; j < w8; j += 8) {
           __m256i v = mc_h_sums8<TAPS>(s + i * stride + j, fx);
           v = _mm256_srai_epi32(_mm256_add_epi32(v, voff), shift1);
           mc_store8(out + i * ostride + j, mc_trunc16(v));
         }
+        if (w & 4) {
+          __m128i v = mc_h_sums4<TAPS>(s + i * stride + w8, fx);
+          v = _mm_srai_epi32(_mm_add_epi32(v, voff4), shift1);
+          mc_store4(out + i * ostride + w8, mc_trunc16_4(v));
+        }
+      }
     }
     return;
   }
@@ -3142,8 +3200,9 @@ static void xvcn_mc_filter_i16(
     const int16_t* s = plane + (int64_t)(y0 - half) * stride + x0;
     if (mode == 0) {
       const __m256i voff = _mm256_set1_epi32(1 << (kMcFilterPrecision - 1));
-      for (int i = 0; i < h; i++)
-        for (int j = 0; j < w; j += 8) {
+      const __m128i voff4 = _mm256_castsi256_si128(voff);
+      for (int i = 0; i < h; i++) {
+        for (int j = 0; j < w8; j += 8) {
           __m256i v = mc_v_sums8<TAPS>(s + i * stride + j, stride, fy);
           // reference casts to int16 before the final clip
           v = mc_trunc16(_mm256_srai_epi32(_mm256_add_epi32(v, voff),
@@ -3151,14 +3210,29 @@ static void xvcn_mc_filter_i16(
           v = _mm256_min_epi32(_mm256_max_epi32(v, vzero), vmax);
           mc_store8(out + i * ostride + j, v);
         }
+        if (w & 4) {
+          __m128i v = mc_v_sums4<TAPS>(s + i * stride + w8, stride, fy);
+          v = mc_trunc16_4(_mm_srai_epi32(_mm_add_epi32(v, voff4),
+                                          kMcFilterPrecision));
+          v = _mm_min_epi32(_mm_max_epi32(v, vzero4), vmax4);
+          mc_store4(out + i * ostride + w8, v);
+        }
+      }
     } else {
       const __m256i voff = _mm256_set1_epi32(offset1);
-      for (int i = 0; i < h; i++)
-        for (int j = 0; j < w; j += 8) {
+      const __m128i voff4 = _mm256_castsi256_si128(voff);
+      for (int i = 0; i < h; i++) {
+        for (int j = 0; j < w8; j += 8) {
           __m256i v = mc_v_sums8<TAPS>(s + i * stride + j, stride, fy);
           v = _mm256_srai_epi32(_mm256_add_epi32(v, voff), shift1);
           mc_store8(out + i * ostride + j, mc_trunc16(v));
         }
+        if (w & 4) {
+          __m128i v = mc_v_sums4<TAPS>(s + i * stride + w8, stride, fy);
+          v = _mm_srai_epi32(_mm_add_epi32(v, voff4), shift1);
+          mc_store4(out + i * ostride + w8, mc_trunc16_4(v));
+        }
+      }
     }
     return;
   }
@@ -3168,8 +3242,9 @@ static void xvcn_mc_filter_i16(
   int th = h + TAPS - 1;
   {
     const __m256i voff = _mm256_set1_epi32(offset1);
-    for (int i = 0; i < th; i++)
-      for (int j = 0; j < w; j += 8) {
+    const __m128i voff4 = _mm256_castsi256_si128(voff);
+    for (int i = 0; i < th; i++) {
+      for (int j = 0; j < w8; j += 8) {
         __m256i v = mc_h_sums8<TAPS>(s + i * stride + j, fx);
         v = _mm256_srai_epi32(_mm256_add_epi32(v, voff), shift1);
         v = mc_trunc16(v);
@@ -3177,26 +3252,48 @@ static void xvcn_mc_filter_i16(
                                       _mm256_extracti128_si256(v, 1));
         _mm_storeu_si128((__m128i*)(tmp + i * w + j), p16);
       }
+      if (w & 4) {
+        __m128i v = mc_h_sums4<TAPS>(s + i * stride + w8, fx);
+        v = _mm_srai_epi32(_mm_add_epi32(v, voff4), shift1);
+        v = mc_trunc16_4(v);
+        _mm_storel_epi64((__m128i*)(tmp + i * w + w8),
+                         _mm_packs_epi32(v, v));
+      }
+    }
   }
   if (mode == 0) {
     int shift2 = kMcFilterPrecision + (kMcInternalPrecision - bitdepth);
     const __m256i voff = _mm256_set1_epi32(
         (kMcInternalOffset << kMcFilterPrecision) + (1 << (shift2 - 1)));
-    for (int i = 0; i < h; i++)
-      for (int j = 0; j < w; j += 8) {
+    const __m128i voff4 = _mm256_castsi256_si128(voff);
+    for (int i = 0; i < h; i++) {
+      for (int j = 0; j < w8; j += 8) {
         __m256i v = mc_v_sums8<TAPS>(tmp + i * w + j, w, fy);
         v = mc_trunc16(_mm256_srai_epi32(_mm256_add_epi32(v, voff),
                                          shift2));
         v = _mm256_min_epi32(_mm256_max_epi32(v, vzero), vmax);
         mc_store8(out + i * ostride + j, v);
       }
+      if (w & 4) {
+        __m128i v = mc_v_sums4<TAPS>(tmp + i * w + w8, w, fy);
+        v = mc_trunc16_4(_mm_srai_epi32(_mm_add_epi32(v, voff4), shift2));
+        v = _mm_min_epi32(_mm_max_epi32(v, vzero4), vmax4);
+        mc_store4(out + i * ostride + w8, v);
+      }
+    }
   } else {
-    for (int i = 0; i < h; i++)
-      for (int j = 0; j < w; j += 8) {
+    for (int i = 0; i < h; i++) {
+      for (int j = 0; j < w8; j += 8) {
         __m256i v = mc_v_sums8<TAPS>(tmp + i * w + j, w, fy);
         v = mc_trunc16(_mm256_srai_epi32(v, kMcFilterPrecision));
         mc_store8(out + i * ostride + j, v);
       }
+      if (w & 4) {
+        __m128i v = mc_v_sums4<TAPS>(tmp + i * w + w8, w, fy);
+        v = mc_trunc16_4(_mm_srai_epi32(v, kMcFilterPrecision));
+        mc_store4(out + i * ostride + w8, v);
+      }
+    }
   }
 }
 #endif  // __AVX2__
@@ -3341,7 +3438,7 @@ static void xvcn_mc_unipred_t(
   }
   bool i16_fast = false;
 #if defined(__AVX2__)
-  i16_fast = sizeof(S) == 2 && (w & 7) == 0 &&
+  i16_fast = sizeof(S) == 2 && (w & 3) == 0 && w >= 4 &&
              kMcFilterPrecision >= kMcInternalPrecision - bitdepth;
 #endif
   if (is_luma) {
