@@ -74,6 +74,40 @@ def test_sharded_lookahead_encode_byte_identical():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_gop_pipeline_mesh_encode_byte_identical(monkeypatch):
+    """GOP-across-devices pipeline: a threaded encode with each
+    in-flight picture's device stages pinned round-robin to a mesh
+    device (the TPU analog of the reference picture-per-thread pool,
+    ref: src/xvc_enc_lib/thread_encoder.cc:99-158) must produce a
+    byte-identical bitstream to the sequential single-device encode."""
+    from xvc_tpu import api
+    from .util import read_data
+    monkeypatch.setenv("XVC_ME", "jax")
+    raw = read_data("sp48x32_in.yuv")
+    fs = 48 * 32 * 3 // 2
+
+    def run(threads):
+        p = api.EncoderParameters(
+            width=48, height=32, qp=32, sub_gop_length=4, checksum_mode=1,
+            threads=threads,
+            explicit_encoder_settings="tpu_intra_lookahead 1")
+        enc = api.EncoderSession(p)
+        nals = []
+        for i in range(6):
+            nals += enc.encode(raw[i * fs:(i + 1) * fs])
+        nals += enc.flush()
+        return b"".join(len(n).to_bytes(4, "little") + n for n in nals)
+
+    seq = run(0)
+    engine.set_mesh(make_mesh(jax.devices()[:8]))
+    try:
+        piped = run(4)
+    finally:
+        engine.set_mesh(None)
+    assert piped == seq
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_dryrun_multichip():
     import importlib.util
     import os

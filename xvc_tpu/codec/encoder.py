@@ -358,9 +358,19 @@ class Encoder:
                               pic_enc.pic_data.ref_pic_lists,
                               sh.leading_pictures)
         if self.pipeline is not None:
+            from .. import engine
+            mesh = engine.get_mesh()
+            device = None
+            if mesh is not None:
+                # GOP-across-devices: each in-flight picture owns one
+                # mesh device for its batched stages (the mesh analog of
+                # the reference's picture-per-thread pool, ref:
+                # src/xvc_enc_lib/thread_encoder.cc:99-158).
+                devs = mesh.devices.flat
+                device = devs[self.doc % len(devs)]
             job = self.pipeline.submit(pic_enc, deps, sh, self.segment_qp,
                                        1 if pic_enc.buffer_flag else 0,
-                                       self.settings)
+                                       self.settings, device=device)
             self._encode_jobs.append((pic_enc, deps, job))
         else:
             nal_bytes = pic_enc.encode(sh, self.segment_qp,

@@ -7,8 +7,10 @@ XVC_DSP=jax   — batched JAX device reconstruction (bit-identical; see
                 (ref: test/xvc_test/simd_test.cc:149-176).
 """
 import os
+import threading
 
 _mesh = None
+_tls = threading.local()
 
 
 def dsp_engine():
@@ -29,6 +31,25 @@ def set_mesh(mesh):
 
 def get_mesh():
     return _mesh
+
+
+def set_pin_device(dev):
+    """Pin this thread's device dispatches to one mesh device.
+
+    The GOP-across-devices pipeline (the mesh analog of the reference's
+    picture-level thread pool, ref: src/xvc_enc_lib/thread_encoder.cc:
+    99-158) assigns each in-flight picture one device of the mesh; the
+    picture's batched device stages (intra lookahead SATD, ME SAD
+    sweeps) then run on that device while other pictures' stages run
+    concurrently on their own chips.  Thread-local so worker threads
+    carry independent pins.  A pin takes precedence over block-level
+    mesh sharding: with N pictures in flight, the scale-out axis is the
+    picture, not the block batch."""
+    _tls.dev = dev
+
+
+def get_pin_device():
+    return getattr(_tls, "dev", None)
 
 
 def use_jax_intra_prepass():

@@ -78,6 +78,17 @@ class EncodePipeline:
     starts once all reference pictures it predicts from have finished
     reconstruction; NAL harvesting stays in DOC order on the session
     thread so the bitstream is byte-identical to the sequential path.
+
+    With a mesh installed (engine.set_mesh) this doubles as the
+    GOP-across-devices pipeline — the TPU-mesh analog of the reference
+    thread pool (SURVEY.md §2.5 mapping): each submitted picture is
+    assigned one mesh device (round-robin over DOC) and its batched
+    device stages (intra-lookahead SATD, ME SAD sweeps) run pinned to
+    that chip, so concurrent pictures occupy different devices while
+    CABAC stays on host worker threads.  Every device stage is a
+    bit-exact integer computation, so device placement cannot change
+    the bitstream: mesh-pipelined == threaded == sequential, byte for
+    byte (tests/test_sharding.py).
     """
 
     def __init__(self, num_threads):
@@ -85,7 +96,7 @@ class EncodePipeline:
                                            thread_name_prefix="xvc-enc")
 
     def submit(self, pic_enc, deps, segment_header, segment_qp, buffer_flag,
-               settings):
+               settings, device=None):
         if not hasattr(pic_enc, "recon_done"):
             pic_enc.recon_done = threading.Event()
         pic_enc.recon_done.clear()
@@ -96,10 +107,13 @@ class EncodePipeline:
                 ev = getattr(dep, "recon_done", None)
                 if ev is not None:
                     ev.wait()
+            from .. import engine
+            engine.set_pin_device(device)
             try:
                 return pic_enc.encode(segment_header, segment_qp,
                                       buffer_flag, settings)
             finally:
+                engine.set_pin_device(None)
                 pic_enc.recon_done.set()
 
         job.future = self.executor.submit(work)

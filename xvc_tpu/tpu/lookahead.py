@@ -59,17 +59,26 @@ def frame_intra_lookahead(luma_plane, bitdepth, restr, sizes=SIZES):
     bit-identical cost maps, so sharded and unsharded encodes produce
     byte-identical bitstreams (tests/test_sharding.py)."""
     import jax.numpy as jnp
-    from ..engine import get_mesh
+    from ..engine import get_mesh, get_pin_device
     from . import analysis as an
     frame = np.ascontiguousarray(luma_plane, dtype=np.int32)
     h, w = frame.shape
-    mesh = get_mesh()
+    pin = get_pin_device()
+    # A per-picture device pin (GOP-across-devices pipeline, the mesh
+    # analog of thread_encoder.cc) overrides block-level mesh sharding:
+    # the picture IS the shard.
+    mesh = get_mesh() if pin is None else None
     maps = {}
     for n in sizes:
         if h < n or w < n or h % n or w % n:
             continue
         orig, top, left = _extract_grid(frame, n, bitdepth, restr)
-        if mesh is not None:
+        if pin is not None:
+            fn = an.make_intra_satd_fn(n, bitdepth)
+            costs = np.asarray(jax.device_get(fn(
+                jax.device_put(orig, pin), jax.device_put(top, pin),
+                jax.device_put(left, pin))))
+        elif mesh is not None:
             from ..parallel.mesh import (make_sharded_intra_satd_fn,
                                          shard_count)
             shards = shard_count(mesh)

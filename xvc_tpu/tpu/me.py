@@ -147,8 +147,18 @@ class DeviceSadTable:
             cands[0, i] = my - y0
             cands[1, i] = mx - x0
         fn = make_sad_fn(w, h, fast, self.metric.bitdepth, n)
-        sads = np.asarray(fn(jnp.asarray(window), jnp.asarray(orig),
-                             jnp.asarray(cands)))
+        from ..engine import get_pin_device
+        pin = get_pin_device()
+        if pin is not None:
+            # GOP-pipeline device pin: this picture's SAD sweeps run on
+            # its assigned mesh device (see engine.set_pin_device).
+            import jax
+            sads = np.asarray(fn(jax.device_put(window, pin),
+                                 jax.device_put(orig, pin),
+                                 jax.device_put(cands, pin)))
+        else:
+            sads = np.asarray(fn(jnp.asarray(window), jnp.asarray(orig),
+                                 jnp.asarray(cands)))
         weight = qp.distortion_weight[0]
         for i, m in enumerate(mvs):
             self.cache[m] = int(int(sads[i]) * weight)
