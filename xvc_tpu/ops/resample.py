@@ -221,6 +221,14 @@ def resample(padded_src, origin_y, origin_x, src_width, src_height,
     supplied by the YuvPicture border padding).  Returns (dst_height,
     dst_width) int32.
     """
+    from ..engine import use_jax_dsp
+    if use_jax_dsp():
+        # Device twin: the two filter passes as int32 MXU matmuls,
+        # bit-exact with the host path below (tests/test_resample_device).
+        from ..tpu import resample_jax
+        return resample_jax.resample(padded_src, origin_y, origin_x,
+                                     src_width, src_height, src_bitdepth,
+                                     dst_width, dst_height, dst_bitdepth)
     tmp_pad = 8
     scale_x = ((src_width << POSITION_PRECISION) + (dst_width >> 1)) \
         // dst_width
