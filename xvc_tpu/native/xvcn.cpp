@@ -335,6 +335,77 @@ static int ExtGreaterCtx(const CoeffCtxParams& p, int posx, int posy,
   return base_c + offset;
 }
 
+// Fused neighbor statistics: the Sig/Greater1/Greater2/GolombRiceK
+// contexts of the default (EXT) residual coding all read the same
+// 5-neighbor template; the RDO quantizer computes all four per
+// coefficient against the same decided-level state, so one pass over
+// the neighbors replaces four (ref role: the per-flag ctx calls of
+// rdo_quant.cc feeding cabac_contexts.cc GetCoeff*Ctx).
+struct CoeffNbrStats {
+  int nz, gt1, gt2, abs_sum;
+};
+
+template <typename C>
+static inline CoeffNbrStats CoeffNeighborStats(int posx, int posy, int w,
+                                               int h, const C* coeff,
+                                               int stride) {
+  CoeffNbrStats s = {0, 0, 0, 0};
+  const C* row = coeff + posy * stride + posx;
+  int a;
+#define XVCN_NBR_ACC(v)                                                \
+  a = (int)(v); a = a < 0 ? -a : a;                                    \
+  s.nz += a != 0; s.gt1 += a > 1; s.gt2 += a > 2; s.abs_sum += a;
+  if (posx < w - 1) {
+    XVCN_NBR_ACC(row[1]);
+    if (posx < w - 2) { XVCN_NBR_ACC(row[2]); }
+    if (posy < h - 1) { XVCN_NBR_ACC(row[stride + 1]); }
+  }
+  if (posy < h - 1) {
+    XVCN_NBR_ACC(row[stride]);
+    if (posy < h - 2) { XVCN_NBR_ACC(row[2 * stride]); }
+  }
+#undef XVCN_NBR_ACC
+  return s;
+}
+
+// EXT-branch of GetCoeffSigCtx from precomputed stats (same math as the
+// scanning form above).
+static int ExtSigCtxFromStats(const CoeffCtxParams& p, int posx, int posy,
+                              int nz) {
+  if (p.restr & R_CABAC_COEFF_SIG_CTX) return p.offsets[F_EXT_SIG_LUMA];
+  int size = (p.width_log2 + p.height_log2) >> 1;
+  int posxy = posx + posy;
+  int offset = nz > 5 ? 5 : nz;
+  int start_offset = (posxy < 2) ? 6 : 0;
+  if (p.is_luma && posxy < 5) start_offset += 6;
+  if (size > 2 && p.is_luma)
+    start_offset += 18 << ((size - 3) < 1 ? (size - 3) : 1);
+  int base = p.offsets[p.is_luma ? F_EXT_SIG_LUMA : F_EXT_SIG_CHROMA];
+  return base + start_offset + offset;
+}
+
+static int ExtGreaterCtxFromStats(const CoeffCtxParams& p, int posx,
+                                  int posy, int is_last_coeff,
+                                  int gt_count) {
+  int base_l = p.offsets[F_EXT_GREATER1_LUMA];
+  int base_c = p.offsets[F_EXT_GREATER1_CHROMA];
+  if (is_last_coeff) return p.is_luma ? base_l : base_c;
+  int offset = (gt_count < 4 ? gt_count : 4) + 1;
+  if (p.is_luma) {
+    int posxy = posx + posy;
+    int start_offset = (posxy < 3) ? 10 : ((posxy < 10) ? 5 : 0);
+    return base_l + start_offset + offset;
+  }
+  return base_c + offset;
+}
+
+static int GolombRiceKFromStats(int abs_sum, int nz) {
+  int threshold = 4 + abs_sum - nz;
+  for (int k = 0; k < 10; k++)
+    if ((1 << (k + 3)) > threshold) return k;
+  return 9;
+}
+
 // contexts.py get_coeff_greater1_ctx
 template <typename C>
 static int GetCoeffGreater1Ctx(const CoeffCtxParams& p, int ctx_set, int c1,
@@ -1603,16 +1674,37 @@ XVCN_API int xvcn_quant_rdo(
         continue;
       }
 
-      int sig_ctx = GetCoeffSigCtx(p, pattern_sig_ctx, scan_x, scan_y, out,
-                                   stride);
-      int c1_ctx = GetCoeffGreater1Ctx(p, code_state.ctx_set, code_state.c1,
-                                       scan_x, scan_y,
-                                       index == last_pos_index, out, stride);
-      int c2_ctx = GetCoeffGreater2Ctx(p, code_state.ctx_set, scan_x, scan_y,
-                                       index == last_pos_index, out, stride);
-      if (!(restr & R_EXT2_CABAC_ALT_RESIDUAL_CTX))
-        code_state.golomb_rice_k =
-            GetCoeffGolombRiceK(scan_x, scan_y, width, height, out, stride);
+      int sig_ctx, c1_ctx, c2_ctx;
+      if (!(restr & R_EXT2_CABAC_ALT_RESIDUAL_CTX)) {
+        // Default residual coding: all four contexts share one
+        // 5-neighbor scan over the already-decided levels.
+        CoeffNbrStats ns =
+            CoeffNeighborStats(scan_x, scan_y, width, height, out, stride);
+        sig_ctx = (restr & R_CABAC_COEFF_SIG_CTX)
+                      ? p.offsets[F_EXT_SIG_LUMA]
+                      : ExtSigCtxFromStats(p, scan_x, scan_y, ns.nz);
+        c1_ctx = (restr & R_CABAC_COEFF_GREATER1_CTX)
+                     ? p.offsets[is_luma ? F_EXT_GREATER1_LUMA
+                                         : F_EXT_GREATER1_CHROMA]
+                     : ExtGreaterCtxFromStats(p, scan_x, scan_y,
+                                              index == last_pos_index,
+                                              ns.gt1);
+        c2_ctx = (restr & R_CABAC_COEFF_GREATER2_CTX)
+                     ? p.offsets[is_luma ? F_EXT_GREATER1_LUMA
+                                         : F_EXT_GREATER1_CHROMA]
+                     : ExtGreaterCtxFromStats(p, scan_x, scan_y,
+                                              index == last_pos_index,
+                                              ns.gt2);
+        code_state.golomb_rice_k = GolombRiceKFromStats(ns.abs_sum, ns.nz);
+      } else {
+        sig_ctx = GetCoeffSigCtx(p, pattern_sig_ctx, scan_x, scan_y, out,
+                                 stride);
+        c1_ctx = GetCoeffGreater1Ctx(p, code_state.ctx_set, code_state.c1,
+                                     scan_x, scan_y,
+                                     index == last_pos_index, out, stride);
+        c2_ctx = GetCoeffGreater2Ctx(p, code_state.ctx_set, scan_x, scan_y,
+                                     index == last_pos_index, out, stride);
+      }
       int64_t sig0_bits = EBits(ctx[sig_ctx], 0);
       int64_t sig1_bits = EBits(ctx[sig_ctx], 1);
       if (last_pos_index == index ||
