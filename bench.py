@@ -475,23 +475,30 @@ def main():
     # Run in a subprocess with a hard timeout: a stalled device tunnel
     # otherwise blocks the whole bench on the first value read-back.
     _log("kernel throughput")
+    # With a dead tunnel the device kernel section would only burn its
+    # timeout; fall back to the CPU backend under _cpu key names so the
+    # dispatch structure is still exercised and recorded honestly.
+    kern_suffix = "" if tunnel_ok else "_cpu"
     kern_code = (
         "import json\n"
-        "import bench\n"
+        + ("" if tunnel_ok else
+           "import jax\njax.config.update('jax_platforms','cpu')\n")
+        + "import bench\n"
         "out = {}\n"
         "try:\n"
-        "    out['kernel_intra67_satd_mpixs'] = "
+        "    out['kernel_intra67_satd%s_mpixs'] = "
         "round(bench.kernel_throughput(), 1)\n"
         "except Exception as e:\n"
         "    out['kernel_error'] = repr(e)[:120]\n"
         "try:\n"
         "    from xvc_tpu.tpu.pallas_satd import bench_device\n"
         "    r = bench_device(batch=16384, iters=50)\n"
-        "    out['kernel_satd8_pallas_mpixs'] = round(r['pallas'], 1)\n"
-        "    out['kernel_satd8_xla_mpixs'] = round(r['xla'], 1)\n"
+        "    out['kernel_satd8_pallas%s_mpixs'] = round(r['pallas'], 1)\n"
+        "    out['kernel_satd8_xla%s_mpixs'] = round(r['xla'], 1)\n"
         "except Exception as e:\n"
         "    out['kernel_pallas_error'] = repr(e)[:120]\n"
-        "print('KERN=' + json.dumps(out))\n")
+        "print('KERN=' + json.dumps(out))\n"
+        % (kern_suffix, kern_suffix, kern_suffix))
     try:
         r = subprocess.run([sys.executable, "-c", kern_code],
                            env=dict(os.environ, PYTHONPATH=PYPATH),
@@ -530,9 +537,17 @@ def main():
     except Exception as e:
         extra["mesh8_error"] = repr(e)[:120]
 
+    # Backend identity probed in a subprocess: jax.default_backend() on
+    # a dead device tunnel can hang the whole bench at the finish line.
     try:
-        import jax
-        extra["jax_backend"] = jax.default_backend()
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('BK=' + jax.default_backend())"],
+            env=dict(os.environ, PYTHONPATH=PYPATH), cwd=REPO,
+            capture_output=True, text=True, timeout=120)
+        bk = [ln for ln in r.stdout.splitlines() if ln.startswith("BK=")]
+        extra["jax_backend"] = bk[0][3:] if bk else \
+            "unavailable: " + (r.stderr or r.stdout)[-80:]
     except Exception as e:  # plugin/backends unavailable in this env
         extra["jax_backend"] = "unavailable: " + repr(e)[:80]
     extra["tunnel_note"] = ("jax_* numbers include ~70-100ms/transfer "

@@ -365,8 +365,11 @@ class Encoder:
                 # GOP-across-devices: each in-flight picture owns one
                 # mesh device for its batched stages (the mesh analog of
                 # the reference's picture-per-thread pool, ref:
-                # src/xvc_enc_lib/thread_encoder.cc:99-158).
-                devs = mesh.devices.flat
+                # src/xvc_enc_lib/thread_encoder.cc:99-158).  On a
+                # process-spanning mesh only this process's devices are
+                # dispatchable, so pin within the local slice.
+                devs = getattr(mesh, "local_devices", None) or \
+                    list(mesh.devices.flat)
                 device = devs[self.doc % len(devs)]
             job = self.pipeline.submit(pic_enc, deps, sh, self.segment_qp,
                                        1 if pic_enc.buffer_flag else 0,

@@ -3728,41 +3728,103 @@ XVCN_API void xvcn_inv_transform(
                         zo_min, nzh, nzw, out);
 }
 
+// fixed-width forward stages (compile-time bounds vectorize fully,
+// the same treatment xvcn_inv_tx_w gives the inverse)
+template <int W>
+static void xvcn_fwd_tx_w(const int32_t* resi, int height,
+                          const int32_t* mh, const int32_t* mv,
+                          int shift1, int shift2, int zo_min, int32_t* out) {
+  const int O1 = W < 32 ? W : 32;
+  int o2 = height < zo_min ? height : zo_min;
+  int32_t a1 = 1 << (shift1 - 1);
+  int32_t a2 = 1 << (shift2 - 1);
+  int32_t mht[W * O1];
+  for (int r = 0; r < W; r++)
+    for (int j = 0; j < O1; j++) mht[r * O1 + j] = mh[j * W + r];
+  int32_t temp[64 * O1];
+  for (int i = 0; i < height; i++) {
+    int32_t acc[O1];
+    for (int j = 0; j < O1; j++) acc[j] = a1;
+    const int32_t* rr = resi + i * W;
+    for (int r = 0; r < W; r++) {
+      int32_t v = rr[r];
+      const int32_t* mt = mht + r * O1;
+      for (int j = 0; j < O1; j++) acc[j] += v * mt[j];
+    }
+    int32_t* t = temp + i * O1;
+    for (int j = 0; j < O1; j++) t[j] = acc[j] >> shift1;
+  }
+  for (int i = 0; i < height * W; i++) out[i] = 0;
+  for (int i = 0; i < o2; i++) {
+    int32_t acc[O1];
+    for (int j = 0; j < O1; j++) acc[j] = a2;
+    for (int r = 0; r < height; r++) {
+      int32_t m = mv[i * height + r];
+      const int32_t* t = temp + r * O1;
+      for (int j = 0; j < O1; j++) acc[j] += m * t[j];
+    }
+    for (int j = 0; j < O1; j++)
+      out[i * W + j] = acc[j] >> shift2;
+  }
+}
+
 // forward: temp = (R Mh[:o1]^T + a1) >> s1 ; C[:o2,:o1] = (Mv[:o2] temp
 // + a2) >> s2, zero elsewhere
 XVCN_API void xvcn_fwd_transform(
     const int32_t* resi, int height, int width,
     const int32_t* mh, const int32_t* mv,
     int shift1, int shift2, int zo_min, int32_t* out) {
+  switch (width) {
+    case 4: return xvcn_fwd_tx_w<4>(resi, height, mh, mv, shift1, shift2,
+                                    zo_min, out);
+    case 8: return xvcn_fwd_tx_w<8>(resi, height, mh, mv, shift1, shift2,
+                                    zo_min, out);
+    case 16: return xvcn_fwd_tx_w<16>(resi, height, mh, mv, shift1, shift2,
+                                      zo_min, out);
+    case 32: return xvcn_fwd_tx_w<32>(resi, height, mh, mv, shift1, shift2,
+                                      zo_min, out);
+    case 64: return xvcn_fwd_tx_w<64>(resi, height, mh, mv, shift1, shift2,
+                                      zo_min, out);
+    default: break;
+  }
   int o1 = width < zo_min ? width : zo_min;
   int o2 = height < zo_min ? height : zo_min;
   int32_t a1 = 1 << (shift1 - 1);
-  int64_t a2 = (int64_t)1 << (shift2 - 1);
-  // GEMM1 fits int32: |resi| < 2^14 (14-bit internal max), basis
-  // <= 2^10, <= 64 taps -> |sum| < 2^30; the shifted temp then fits
-  // int32 trivially.  GEMM2 products can reach 2^32, so it stays
-  // int64, restructured as broadcast-accumulate across j (contiguous
-  // temp rows) so it vectorizes.
+  int32_t a2 = 1 << (shift2 - 1);
+  // Both stages accumulate exactly in int32.  Stage 1: |resi| <= 2^14
+  // (14-bit internal cap), |basis| <= 365 < 2^8.6, <= 64 taps ->
+  // |sum| < 2^28.6.  Stage 2: the stage-1 shift is wl2+bitdepth-9 for
+  // 6-bit(+2 for 8-bit) matrices, so |temp| < 2^15.6 by construction
+  // and |acc| <= 64 * 365 * 2^15.6 < 2^30.1 -- 2x margin.  Both loops
+  // are broadcast-accumulate across contiguous j so they vectorize
+  // (mh is transposed once per call; matrices are <= 64x32 ints).
+  int32_t mht[64 * 32];
+  for (int r = 0; r < width; r++)
+    for (int j = 0; j < o1; j++) mht[r * o1 + j] = mh[j * width + r];
   int32_t temp[64 * 32];
   for (int i = 0; i < height; i++) {
-    for (int j = 0; j < o1; j++) {
-      int32_t sum = 0;
-      for (int r = 0; r < width; r++)
-        sum += resi[i * width + r] * mh[j * width + r];
-      temp[i * 32 + j] = (sum + a1) >> shift1;
+    int32_t acc[32];
+    for (int j = 0; j < o1; j++) acc[j] = a1;
+    const int32_t* rr = resi + i * width;
+    for (int r = 0; r < width; r++) {
+      int32_t v = rr[r];
+      const int32_t* mt = mht + r * o1;
+      for (int j = 0; j < o1; j++) acc[j] += v * mt[j];
     }
+    int32_t* t = temp + i * 32;
+    for (int j = 0; j < o1; j++) t[j] = acc[j] >> shift1;
   }
   for (int i = 0; i < height * width; i++) out[i] = 0;
   for (int i = 0; i < o2; i++) {
-    int64_t acc[32];
+    int32_t acc[32];
     for (int j = 0; j < o1; j++) acc[j] = a2;
     for (int r = 0; r < height; r++) {
-      int64_t m = mv[i * height + r];
+      int32_t m = mv[i * height + r];
       const int32_t* t = temp + r * 32;
       for (int j = 0; j < o1; j++) acc[j] += m * t[j];
     }
     for (int j = 0; j < o1; j++)
-      out[i * width + j] = (int32_t)(acc[j] >> shift2);
+      out[i * width + j] = acc[j] >> shift2;
   }
 }
 

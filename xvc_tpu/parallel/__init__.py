@@ -16,4 +16,7 @@ def __getattr__(name):
                 "shard_count"):
         from . import mesh
         return getattr(mesh, name)
+    if name in ("init", "global_mesh", "is_multiprocess"):
+        from . import multihost
+        return getattr(multihost, name)
     raise AttributeError(name)

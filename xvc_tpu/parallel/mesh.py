@@ -43,6 +43,11 @@ def make_sharded_intra_satd_fn(mesh, n, bitdepth):
     axes = P(mesh.axis_names)
     dspec = NamedSharding(mesh, axes)
     rep = NamedSharding(mesh, P())
+    # On a process-spanning mesh (multihost.global_mesh) the caller
+    # device_gets the result, so ask XLA to all-gather it (replicated
+    # output = fully addressable in every process); single-process
+    # meshes keep the sharded output and let device_get assemble it.
+    multiproc = jax.process_count() > 1
 
     def step(orig, top, left, weights):
         post_filter = n <= 16
@@ -52,10 +57,18 @@ def make_sharded_intra_satd_fn(mesh, n, bitdepth):
         return satd_mod.satd_square(diff, bitdepth)
 
     jitted = jax.jit(step, in_shardings=(dspec, dspec, dspec, rep),
-                     out_shardings=dspec)
+                     out_shardings=rep if multiproc else dspec)
     weights = np.asarray(ib.angular_weight_tensor(n))
 
     def fn(orig, top, left):
+        if multiproc:
+            # Each process holds the identical full numpy input; build
+            # the global sharded jax.Arrays from the local copies.
+            orig, top, left = (
+                jax.make_array_from_callback(np.shape(x), dspec,
+                                             lambda idx, x=x: x[idx])
+                for x in (np.asarray(orig), np.asarray(top),
+                          np.asarray(left)))
         return jitted(orig, top, left, weights)
 
     return fn
