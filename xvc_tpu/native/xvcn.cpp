@@ -1650,6 +1650,32 @@ XVCN_API int xvcn_quant_rdo(
 
     int64_t subblock_zero_dist = 0;
     int64_t subblock_code_cost = 0;
+    if (last_pos_index == -1) {
+      // Trailing-subblock fast path: before the last position is found
+      // the per-coefficient loop only zeroes and accumulates the zero
+      // distortion; if nothing in this subblock quantizes nonzero the
+      // whole subblock reduces to that (bit-exact shortcut — contexts,
+      // code_state and the csbf arrays are untouched by zero runs).
+      int64_t zc = 0, maxabs = 0;
+      for (int off = 0; off < subblock_size; off++) {
+        int so = scan_table[off];
+        int64_t a = src[(spy + (so >> subblock_shift)) * stride + spx +
+                        (so & subblock_mask)];
+        if (a < 0) a = -a;
+        if (a > maxabs) maxabs = a;
+        zc += (a * a) << cost_scale;
+      }
+      if (((maxabs * scale + fwd_offset) >> fwd_shift) == 0) {
+        for (int off = 0; off < subblock_size; off++) {
+          int so = scan_table[off];
+          out[(spy + (so >> subblock_shift)) * stride + spx +
+              (so & subblock_mask)] = 0;
+        }
+        comp_code_cost += zc;
+        comp_zero_dist += zc;
+        continue;
+      }
+    }
     int pattern_sig_ctx;
     int csbf_ctx = GetSubblockCsbfCtx(p, subblock_csbf, ssx, ssy,
                                       subblock_width, subblock_height,
