@@ -46,6 +46,16 @@ def test_jax_decode_bit_exact(jax_dsp, name):
     _assert_stream_bit_exact(name)
 
 
+@pytest.mark.parametrize("name", FAST_STREAMS)
+def test_jax_decode_python_parse_twin(jax_dsp, monkeypatch, name):
+    """The Python syntax-reader parse (validation twin) and the native
+    parse+replay (native/pic.py parse_picture) must feed the device
+    reconstruction identically — the parse-level analog of the
+    native-vs-python determinism contract (XVC_PIC_NATIVE=0)."""
+    monkeypatch.setenv("XVC_PIC_NATIVE", "0")
+    _assert_stream_bit_exact(name)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("name", SLOW_STREAMS)
 def test_jax_decode_bit_exact_full_matrix(jax_dsp, name):

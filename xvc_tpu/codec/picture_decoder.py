@@ -195,6 +195,7 @@ class PictureDecoder:
         native_pic_decode = not jax_dsp and use_native_pic_decode() and \
             pd.bitdepth <= 14
         pd.init(segment, qp, True, light=native_pic_decode)
+        pd.mv_resolved = False
         success = True
         if native_pic_decode:
             # Single-call native decode: CABAC parse, MV derivation,
@@ -206,13 +207,27 @@ class PictureDecoder:
                 success = native_pic.decode_picture(self, segment,
                                                     bit_reader, qp)
         else:
-            reader = SyntaxReader(qp, pd.get_prediction_type(), bit_reader,
-                                  restr)
+            native_parse = False
+            if jax_dsp and pd.bitdepth <= 14 and use_native_pic_decode():
+                from ..native import pic as native_pic
+                native_parse = native_pic.parse_available()
             cu_decoder = CuDecoder(self.rec_pic, pd, restr)
-            with span("decode.parse" if jax_dsp else "decode.parse+recon"):
-                for rsaddr in range(pd.get_number_of_ctus()):
-                    cu_decoder.decode_ctu(rsaddr, reader,
-                                          reconstruct=not jax_dsp)
+            if native_parse:
+                # CABAC parse + MV derivation in C++, CU tree replayed
+                # from flat records (native/pic.py parse_picture); the
+                # batched device stages consume the tree as usual.
+                from ..native import pic as native_pic
+                with span("decode.parse"):
+                    success = native_pic.parse_picture(self, segment,
+                                                       bit_reader, qp)
+            else:
+                reader = SyntaxReader(qp, pd.get_prediction_type(),
+                                      bit_reader, restr)
+                with span("decode.parse" if jax_dsp
+                          else "decode.parse+recon"):
+                    for rsaddr in range(pd.get_number_of_ctus()):
+                        cu_decoder.decode_ctu(rsaddr, reader,
+                                              reconstruct=not jax_dsp)
             if jax_dsp:
                 from ..tpu.recon import JaxReconstructor
                 JaxReconstructor(cu_decoder).reconstruct_picture()
@@ -222,7 +237,7 @@ class PictureDecoder:
                                                  pd.beta_offset,
                                                  pd.tc_offset, restr)
                     deblocker.deblock_picture()
-            if not reader.finish():
+            if not native_parse and not reader.finish():
                 success = False
         pad_needed = pd.tid == 0 or not pd.highest_layer
         alt_needed = (pd.nal_type == k.NalUnitType.INTRA_ACCESS_PICTURE and

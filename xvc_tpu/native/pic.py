@@ -442,3 +442,206 @@ def decode_picture(pic_decoder, segment, bit_reader, qp):
     pd._xvcn_mvfield = mvfield
     pd._xvcn_mf_stride = cols
     return status == 0
+
+
+# ---------------------------------------------------------------------------
+# Parse-only native decode for the device reconstruction path
+# (XVC_DSP=jax): CABAC parse + MV derivation run in C++
+# (xvcn_parse_picture) and the Python CU tree is rebuilt from flat
+# records — no entropy decoding or MV derivation in Python, the
+# SURVEY §2.5 mapping (CABAC as the sequential host tail feeding the
+# batched device stages; ref: src/xvc_dec_lib/cu_decoder.cc:60-100).
+# ---------------------------------------------------------------------------
+
+PARSE_REC_STRIDE = 72  # must match kNParseRecStride in xvcn_pic.inc
+
+
+def parse_available():
+    from . import LIB
+    return LIB is not None and hasattr(LIB, "xvcn_parse_picture")
+
+
+def _replay_tree(pd, rec, roots, coeff):
+    """Rebuild the Python CU tree from exported parse records (record
+    index == native pool slot; child indices are absolute)."""
+    SplitType = k.SplitType
+    _SPLIT_NONE = k.SplitType.NONE
+    num_ctus = pd.get_number_of_ctus()
+    stack = []
+    for rsaddr in range(num_ctus):
+        stack.append((pd.get_ctu(k.CuTree.PRIMARY, rsaddr),
+                      int(roots[2 * rsaddr])))
+        r1 = int(roots[2 * rsaddr + 1])
+        if r1 >= 0:
+            stack.append((pd.get_ctu(k.CuTree.SECONDARY, rsaddr), r1))
+    # hot loop: raw python ints (IntEnum members compare equal to ints,
+    # so consumers are unaffected); mvd is a pure encoder-side field and
+    # is left at its default; availability marks are NOT set here -- the
+    # reconstructor clears and re-marks in its own decode-order walk.
+    rl = rec.tolist()
+    get_qp = pd.get_qp_obj
+    comps_of = pd.cu_tree_components
+    while stack:
+        cu, i = stack.pop()
+        r = rl[i]
+        cu.qp = get_qp(r[12])
+        split = r[6]
+        if split:
+            cu.do_split(SplitType(split))
+            for j, sub in enumerate(cu.sub_cus):
+                if sub is not None:
+                    stack.append((sub, r[7 + j]))
+            continue
+        cu.split = _SPLIT_NONE
+        cu.pred_mode = r[11]
+        cu.skip_flag = r[13] != 0
+        cu.merge_flag = r[14] != 0
+        cu.merge_idx = r[15]
+        cu.inter_dir = r[16]
+        cu.fullpel_mv = r[17] != 0
+        cu.use_affine = r[18] != 0
+        cu.use_lic = r[19] != 0
+        cu.root_cbf = r[20] != 0
+        cu.cbf = [r[21] != 0, r[22] != 0, r[23] != 0]
+        cu.transform_skip = [r[24] != 0, r[25] != 0, r[26] != 0]
+        cu.dc_only = [r[27] != 0, r[28] != 0, r[29] != 0]
+        cu.tx_type = [[r[30], r[31]], [r[32], r[33]]]
+        cu.tx_select_idx = r[34]
+        if r[11]:  # inter: final (derived) MVs
+            cu.ref_idx = [r[35], r[36]]
+            cu.mvp_idx = [r[37], r[38]]
+            cu.mv = [[(r[41], r[42]), (r[43], r[44]),
+                      (r[45], r[46]), (r[47], r[48])],
+                     [(r[49], r[50]), (r[51], r[52]),
+                      (r[53], r[54]), (r[55], r[56])]]
+        else:
+            cu.intra_mode_luma = r[39]
+            cu.intra_mode_chroma = r[40]
+        for comp in comps_of[r[0]]:
+            off = r[65 + comp]
+            if off >= 0:
+                w, h = cu.size(comp)
+                cu.coeff[comp] = coeff[off:off + w * h].reshape(h, w)
+            else:
+                cu.coeff[comp] = None
+
+
+def parse_picture(pic_decoder, segment, bit_reader, qp):
+    """Native parse + MV derivation + Python tree replay.
+
+    Same contract as decode_picture: returns conformance success,
+    raises ValueError on parse errors."""
+    pd = pic_decoder.pic_data
+    restr = segment.restrictions
+    fam41, fam18 = _fam_arrays()
+    tx_blob, tx_offsets = _tx_tables()
+    restr_vec = _restr_vec(restr)
+
+    from ..cabac.contexts import CabacContexts
+    ctx = CabacContexts(restr)
+    ctx.reset_states(qp.get_qp_raw(0), pd.get_prediction_type())
+
+    p = XvcnPicParams()
+    buf = bit_reader.buf
+    buf_arr = np.frombuffer(buf, dtype=np.uint8)
+    p.bitstream = buf_arr.ctypes.data
+    p.bs_len = len(buf)
+    p.bs_pos = bit_reader.pos
+    p.ctx_state = ctx.state.ctypes.data
+    p.fam41 = fam41.ctypes.data
+    p.fam18 = fam18.ctypes.data
+    p.restr = restr_vec.ctypes.data
+    p.tx_blob = tx_blob.ctypes.data
+    p.tx_offsets = tx_offsets.ctypes.data
+    for comp in range(3):
+        p.rec_plane[comp] = 0   # parse touches no pixels
+        p.rec_stride[comp] = 0
+    rows, cols = mvfield_shape(pd.width, pd.height)
+    mvfield = getattr(pic_decoder, "_mvfield_buf", None)
+    if mvfield is None or mvfield.size != rows * cols * 8:
+        mvfield = np.empty(rows * cols * 8, dtype=np.int32)
+        pic_decoder._mvfield_buf = mvfield
+    p.out_mvfield = mvfield.ctypes.data
+    p.out_mf_stride = cols
+    p.width = pd.width
+    p.height = pd.height
+    p.bitdepth = pd.bitdepth
+    p.chroma_fmt = int(pd.chroma_format)
+    p.pic_qp = pic_decoder.pic_qp
+    p.pred_type = int(pd.get_prediction_type())
+    p.adaptive_qp = pd.adaptive_qp
+    p.lic_active = 1 if pd.lic_active else 0
+    p.tmvp_valid = 1 if pd.tmvp_valid else 0
+    p.tmvp_ref_list = pd.tmvp_ref_list
+    p.tmvp_ref_idx = pd.tmvp_ref_idx
+    p.force_l1_mvd_zero = 1 if pd.force_bipred_l1_mvd_zero else 0
+    p.max_binary_split_depth = segment.max_binary_split_depth
+    p.chroma_qp_offset_table = segment.chroma_qp_offset_table
+    p.chroma_qp_offset_u = segment.chroma_qp_offset_u
+    p.chroma_qp_offset_v = segment.chroma_qp_offset_v
+    p.deblock = 0  # parse only; the device path deblocks
+    p.beta_offset = pd.beta_offset
+    p.tc_offset = pd.tc_offset
+    p.poc = pd.poc
+    from ..profiling import enabled as _prof_enabled
+    p.profile = 1 if _prof_enabled() else 0
+    keep_alive = [buf_arr, mvfield, ctx.state, fam41, fam18, tx_blob,
+                  tx_offsets, restr_vec]
+    rpl = pd.ref_pic_lists
+    for lst in range(2):
+        n = min(rpl.get_num_ref_pics(lst), 5)
+        p.num_ref[lst] = n
+        for i in range(n):
+            entry = rpl.entries[lst][i]
+            rp = p.refs[lst][i]
+            rp.poc = entry.poc
+            rp.pic_type = int(entry.pic_data.get_prediction_type())
+            rp.width = entry.rec_pic.width[0]
+            rp.height = entry.rec_pic.height[0]
+            for comp in range(3):
+                rp.plane16[comp] = 0  # MV derivation reads no samples
+                rp.plane[comp] = 0
+                rp.stride[comp] = 0
+            mf = getattr(entry.pic_data, "_xvcn_mvfield", None)
+            if mf is not None:
+                rp.mvfield = mf.ctypes.data
+                rp.mf_stride = getattr(entry.pic_data, "_xvcn_mf_stride", 0)
+                keep_alive.append(mf)
+            else:
+                rp.mvfield = 0
+                rp.mf_stride = 0
+
+    from . import LIB
+    if LIB.xvcn_parse_picture.argtypes is None:
+        LIB.xvcn_parse_picture.restype = c.c_int
+        LIB.xvcn_parse_picture.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_int64,
+            c.POINTER(c.c_int64), c.POINTER(c.c_int32)]
+        LIB.xvcn_export_parse.restype = None
+        LIB.xvcn_export_parse.argtypes = [c.c_void_p, c.c_int32,
+                                          c.c_void_p]
+    coeff = np.empty(3 * pd.width * pd.height, dtype=np.int32)
+    ncoeff = c.c_int64(0)
+    nrec = c.c_int32(0)
+    status = LIB.xvcn_parse_picture(c.byref(p), coeff.ctypes.data,
+                                    coeff.size, c.byref(ncoeff),
+                                    c.byref(nrec))
+    del keep_alive
+    from ..profiling import add_span_time
+    add_span_time("decode.parse.native", p.parse_ns / 1e9)
+    if status not in (0, 3):
+        raise ValueError("corrupt bitstream (native parse status %d)"
+                         % status)
+    rec = np.empty((int(nrec.value), PARSE_REC_STRIDE), dtype=np.int32)
+    roots = np.empty(2 * pd.get_number_of_ctus(), dtype=np.int32)
+    LIB.xvcn_export_parse(rec.ctypes.data, PARSE_REC_STRIDE,
+                          roots.ctypes.data)
+    from ..profiling import span
+    with span("decode.parse.replay"):
+        _replay_tree(pd, rec, roots, coeff)
+    bit_reader.pos = p.out_bs_pos
+    bit_reader.bit_mask = 0x80
+    pd._xvcn_mvfield = mvfield
+    pd._xvcn_mf_stride = cols
+    pd.mv_resolved = True
+    return status == 0

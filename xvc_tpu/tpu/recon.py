@@ -135,7 +135,8 @@ class JaxReconstructor:
             if cu.cbf[comp]:
                 self._add_itx_job(cu, comp)
         if cu.is_inter():
-            self.dec.inter.calculate_mv(cu)
+            if not getattr(self.pic, "mv_resolved", False):
+                self.dec.inter.calculate_mv(cu)
             if cu.use_lic:
                 return  # sequential tail (template-based prediction)
             for comp in comps:
