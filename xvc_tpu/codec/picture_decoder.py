@@ -196,6 +196,7 @@ class PictureDecoder:
             pd.bitdepth <= 14
         pd.init(segment, qp, True, light=native_pic_decode)
         pd.mv_resolved = False
+        pd._parse_records = None
         success = True
         if native_pic_decode:
             # Single-call native decode: CABAC parse, MV derivation,

@@ -644,4 +644,7 @@ def parse_picture(pic_decoder, segment, bit_reader, qp):
     pd._xvcn_mvfield = mvfield
     pd._xvcn_mf_stride = cols
     pd.mv_resolved = True
+    # the flat record table also feeds the vectorized deblock cu-map
+    # builder (ops/deblock.py _build_cu_maps_from_records)
+    pd._parse_records = rec
     return status == 0

@@ -60,6 +60,9 @@ class DeblockingFilter:
         native pass (the host analog of the per-block attribute tensors
         a TPU deblock kernel would consume)."""
         pic = self.pic
+        rec = getattr(pic, "_parse_records", None)
+        if rec is not None:
+            return self._build_cu_maps_from_records(cu_tree, rec)
         map_w = (pic.width + 3) >> 2
         map_h = (pic.height + 3) >> 2
         cu_map = np.full((map_h, map_w), -1, np.int32)
@@ -96,6 +99,48 @@ class DeblockingFilter:
             np.array(attrs, np.int32).reshape(len(attrs), -1)) \
             if attrs else np.zeros((1, 27), np.int32)
         return np.ascontiguousarray(cu_map), attr_arr
+
+    def _build_cu_maps_from_records(self, cu_tree, rec):
+        """Vectorized cu_map/attrs from the native parse's flat CU
+        records (native/pic.py parse_picture) — same contents as the
+        per-leaf visitor below, columns read straight off the record
+        table instead of CU objects."""
+        pic = self.pic
+        map_w = (pic.width + 3) >> 2
+        map_h = (pic.height + 3) >> 2
+        cu_map = np.full((map_h, map_w), -1, np.int32)
+        leaf = (rec[:, 6] == 0) & (rec[:, 0] == int(cu_tree))
+        lr = rec[leaf]
+        n = lr.shape[0]
+        if n == 0:
+            return cu_map, np.zeros((1, 27), np.int32)
+        attrs = np.zeros((n, 27), np.int32)
+        attrs[:, 0:4] = lr[:, 2:6]
+        is_intra = lr[:, 11] == 0
+        attrs[:, 4] = is_intra
+        attrs[:, 5] = lr[:, 21] != 0
+        qp_lut0 = np.array([q.get_qp_raw(0) for q in pic.qps], np.int32)
+        qp_lut1 = np.array([q.get_qp_raw(1) for q in pic.qps], np.int32)
+        attrs[:, 6] = qp_lut0[lr[:, 12]]
+        attrs[:, 7] = qp_lut1[lr[:, 12]]
+        rpl = pic.ref_pic_lists
+        inter_dir = lr[:, 16]
+        for lst in (0, 1):
+            poc_lut = np.zeros(8, np.int32)  # ref_idx OOB -> poc 0
+            for i in range(min(rpl.get_num_ref_pics(lst), 8)):
+                poc_lut[i] = rpl.get_ref_poc(lst, i)
+            has = (inter_dir != 1) if lst == 0 else (inter_dir >= 1)
+            poc = np.where(has, poc_lut[np.clip(lr[:, 35 + lst], 0, 7)], -1)
+            attrs[:, 8 + lst] = np.where(is_intra, 0, poc)
+        attrs[:, 10] = np.where(is_intra, 0, lr[:, 35])
+        attrs[:, 11:27] = lr[:, 41:57]
+        xs0 = lr[:, 2] >> 2
+        ys0 = lr[:, 3] >> 2
+        xs1 = np.minimum(map_w, (lr[:, 2] + lr[:, 4] + 3) >> 2)
+        ys1 = np.minimum(map_h, (lr[:, 3] + lr[:, 5] + 3) >> 2)
+        for i in range(n):
+            cu_map[ys0[i]:ys1[i], xs0[i]:xs1[i]] = i
+        return cu_map, np.ascontiguousarray(attrs)
 
     def _deblock_picture_native(self, subblock_size, has_secondary):
         from .. import native as _native
