@@ -1619,18 +1619,22 @@ XVCN_API int xvcn_quant_rdo(
   memset(subblock_csbf, 0, nbr_subblocks);
   memset(csbf_bits_to_zero, 0, nbr_subblocks * sizeof(int64_t));
   int n = width * height;
-  static thread_local int64_t err_dist[4096];
-  static thread_local int64_t sig_rate[4096];
-  static thread_local int64_t rate_up[4096];
-  static thread_local int64_t rate_down[4096];
+  // narrow per-coefficient side arrays: err_dist is stored as an int16
+  // quantity already; the rate deltas are fractional-bit counts
+  // (<= ~50 bins * 2^15 < 2^21) -- int32 with headroom.  Reads promote
+  // to int64 in the cost arithmetic.
+  static thread_local int16_t err_dist[4096];
+  static thread_local int32_t sig_rate[4096];
+  static thread_local int32_t rate_up[4096];
+  static thread_local int32_t rate_down[4096];
   static thread_local int64_t coeff_cost_to_zero[4096];
-  static thread_local int64_t coeff_sig_bits[4096];
-  memset(err_dist, 0, n * sizeof(int64_t));
-  memset(sig_rate, 0, n * sizeof(int64_t));
-  memset(rate_up, 0, n * sizeof(int64_t));
-  memset(rate_down, 0, n * sizeof(int64_t));
+  static thread_local int32_t coeff_sig_bits[4096];
+  memset(err_dist, 0, n * sizeof(int16_t));
+  memset(sig_rate, 0, n * sizeof(int32_t));
+  memset(rate_up, 0, n * sizeof(int32_t));
+  memset(rate_down, 0, n * sizeof(int32_t));
   memset(coeff_cost_to_zero, 0, n * sizeof(int64_t));
-  memset(coeff_sig_bits, 0, n * sizeof(int64_t));
+  memset(coeff_sig_bits, 0, n * sizeof(int32_t));
 
   RdoCodeState code_state;
   int last_pos_index = -1;
