@@ -471,6 +471,22 @@ def main():
     extra["encode_720p_ld_fast_byte_identical"] = (
         open(hd_ref_enc, "rb").read() == open(hd_ours_enc, "rb").read())
 
+    # 720p random-access (hierarchical sub-GOP 8, bi-pred/affine-heavy
+    # mode mix -- config-3-shaped encode workload)
+    hd8 = os.path.join(WORK, "hd720_8.yuv")  # 8-frame input from config 2
+    hd_ref_ra = os.path.join(WORK, "hd_ref_ra.xvc")
+    t = ref_encode(enc, hd8, hd_ref_ra, 1280, 720,
+                   ["-qp", "32", "-num-ref-pics", "2",
+                    "-sub-gop-length", "8", "-speed-mode", "1",
+                    "-max-pictures", "8"])
+    extra["ref_encode_720p_ra_mpixs"] = round(1280 * 720 * 8 / t / 1e6, 4)
+    hd_ours_ra = os.path.join(WORK, "hd_ours_ra.xvc")
+    t = our_encode_timed(hd8, hd_ours_ra, 1280, 720, 8, speed_mode=1,
+                         num_ref_pics=2, sub_gop_length=8)
+    extra["host_encode_720p_ra_mpixs"] = round(1280 * 720 * 8 / t / 1e6, 4)
+    extra["encode_720p_ra_byte_identical"] = (
+        open(hd_ref_ra, "rb").read() == open(hd_ours_ra, "rb").read())
+
     # ---- stand-alone TPU kernel (separate section, not comparable) ----
     # Run in a subprocess with a hard timeout: a stalled device tunnel
     # otherwise blocks the whole bench on the first value read-back.
