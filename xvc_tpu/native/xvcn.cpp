@@ -3097,9 +3097,11 @@ XVCN_API void xvcn_intra_pred_angular(const int32_t* top_in,
       int iw = angle_sum & 31;
       const int32_t* seg = ref_line + ref_off + offset;
       if (iw) {
+        // int32 is exact: samples are <= 14-bit, weights <= 32, so the
+        // interpolation sum stays under 2^20 -- and vectorizes 8-wide
+        int32_t w0 = 32 - iw, w1 = iw;
         for (int x = 0; x < w; x++)
-          o[y * w + x] = (int32_t)(((int64_t)(32 - iw) * seg[x] +
-                                    (int64_t)iw * seg[x + 1] + 16) >> 5);
+          o[y * w + x] = (w0 * seg[x] + w1 * seg[x + 1] + 16) >> 5;
       } else {
         for (int x = 0; x < w; x++) o[y * w + x] = seg[x];
       }
