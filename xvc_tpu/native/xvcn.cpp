@@ -1654,22 +1654,34 @@ XVCN_API int xvcn_quant_rdo(
 
     int64_t subblock_zero_dist = 0;
     int64_t subblock_code_cost = 0;
+    // one pass gathers the subblock in scan order; the quantization and
+    // zero-cost arithmetic then runs as straight-line (vectorizable)
+    // loops shared by the fast path and the decision loop below
+    int32_t abs_a[16];
+    int64_t zc_a[16], q_a[16];
+    for (int off = 0; off < subblock_size; off++) {
+      int so = scan_table[off];
+      int32_t a = src[(spy + (so >> subblock_shift)) * stride + spx +
+                      (so & subblock_mask)];
+      abs_a[off] = a < 0 ? -a : a;
+    }
+    for (int off = 0; off < subblock_size; off++) {
+      int64_t a = abs_a[off];
+      zc_a[off] = (a * a) << cost_scale;
+      q_a[off] = (a * scale + fwd_offset) >> fwd_shift;
+    }
     if (last_pos_index == -1) {
       // Trailing-subblock fast path: before the last position is found
       // the per-coefficient loop only zeroes and accumulates the zero
       // distortion; if nothing in this subblock quantizes nonzero the
       // whole subblock reduces to that (bit-exact shortcut — contexts,
       // code_state and the csbf arrays are untouched by zero runs).
-      int64_t zc = 0, maxabs = 0;
+      int64_t zc = 0, qsum = 0;
       for (int off = 0; off < subblock_size; off++) {
-        int so = scan_table[off];
-        int64_t a = src[(spy + (so >> subblock_shift)) * stride + spx +
-                        (so & subblock_mask)];
-        if (a < 0) a = -a;
-        if (a > maxabs) maxabs = a;
-        zc += (a * a) << cost_scale;
+        zc += zc_a[off];
+        qsum += q_a[off];
       }
-      if (((maxabs * scale + fwd_offset) >> fwd_shift) == 0) {
+      if (qsum == 0) {
         for (int off = 0; off < subblock_size; off++) {
           int so = scan_table[off];
           out[(spy + (so >> subblock_shift)) * stride + spx +
@@ -1691,11 +1703,10 @@ XVCN_API int xvcn_quant_rdo(
       int scan_x = spx + (so & subblock_mask);
       int scan_y = spy + (so >> subblock_shift);
       int index = sub_index + off;
-      int64_t abs_coeff = src[scan_y * stride + scan_x];
-      if (abs_coeff < 0) abs_coeff = -abs_coeff;
-      int64_t coeff_zero_cost = (abs_coeff * abs_coeff) << cost_scale;
+      int64_t abs_coeff = abs_a[off];
+      int64_t coeff_zero_cost = zc_a[off];
       subblock_zero_dist += coeff_zero_cost;
-      int64_t quant_coeff = (abs_coeff * scale + fwd_offset) >> fwd_shift;
+      int64_t quant_coeff = q_a[off];
       if (quant_coeff && last_pos_index == -1) {
         last_pos_index = index;
       } else if (last_pos_index == -1) {
