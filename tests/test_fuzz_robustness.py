@@ -53,6 +53,18 @@ def test_damaged_nals_never_crash(mode):
         _run_damaged(nals, damage_idx, mode, rng)  # must not raise
 
 
+@pytest.mark.parametrize("mode", ["truncate", "corrupt", "garbage"])
+def test_damaged_nals_never_crash_jax_path(monkeypatch, mode):
+    """Same contract through the device decode path (XVC_DSP=jax with
+    the native parse + replay): damage must surface as parse errors /
+    non-conformance, never a crash."""
+    monkeypatch.setenv("XVC_DSP", "jax")
+    rng = random.Random(hash(mode) & 0xFFFF)
+    nals = _nals_of(read_data("ra64x48.xvc"))
+    for damage_idx in (0, 1, 2, len(nals) // 2, len(nals) - 1):
+        _run_damaged(nals, damage_idx, mode, rng)  # must not raise
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("mode", ["truncate", "corrupt", "garbage"])
 @pytest.mark.parametrize("stream", ["ra64x48", "ld64x48", "ai64x48"])
