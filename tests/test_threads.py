@@ -53,6 +53,20 @@ def test_threaded_restriction_switch():
     assert all(p.conforming for p in b)
 
 
+def test_threaded_jax_decode_equals_unthreaded(monkeypatch):
+    """Picture-parallel decode with the device reconstruction path
+    (XVC_DSP=jax, native parse + batched device stages dispatched from
+    worker threads) must match the sequential device decode exactly."""
+    monkeypatch.setenv("XVC_DSP", "jax")
+    bs = read_data("ra64x48.xvc")
+    a = decode_all(bs, 0)
+    b = decode_all(bs, 4)
+    assert [p.poc for p in a] == [p.poc for p in b]
+    for x, y in zip(a, b):
+        assert x.conforming == y.conforming
+        assert x.bytes == y.bytes
+
+
 def test_threaded_encode_equals_sequential():
     """ThreadEncoder-equivalent determinism (ref: thread_encoder.cc):
     picture-parallel encoding produces a byte-identical bitstream and

@@ -50,8 +50,27 @@ def _ensure_compile_cache():
         return
     try:
         backend = jax.default_backend()
+        suffix = backend
+        if backend == "cpu":
+            # CPU AOT executables bake in the build host's ISA feature
+            # set; a cache written on a different machine can SIGILL.
+            # Key the cache by a host fingerprint.
+            import hashlib
+            import platform
+            feats = ""
+            try:
+                with open("/proc/cpuinfo") as f:
+                    for ln in f:
+                        if ln.startswith("flags"):
+                            feats = ln
+                            break
+            except OSError:
+                pass
+            hid = hashlib.md5(
+                (platform.machine() + feats).encode()).hexdigest()[:10]
+            suffix = "cpu_" + hid
         jax.config.update("jax_compilation_cache_dir",
-                          "%s_%s" % (cache_dir, backend))
+                          "%s_%s" % (cache_dir, suffix))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass
