@@ -109,10 +109,10 @@ def run_timed(cmd, best_of=1):
     return best
 
 
-def ref_encode(enc, yuv, out, w, h, args):
+def ref_encode(enc, yuv, out, w, h, args, best_of=1):
     return run_timed([enc, "-input-file", yuv, "-output-file", out,
                       "-input-width", str(w), "-input-height", str(h),
-                      "-internal-bitdepth", "8"] + args)
+                      "-internal-bitdepth", "8"] + args, best_of=best_of)
 
 
 def our_decode_timed(bitstream_path, expect_path, dsp, profile=False,
@@ -418,17 +418,22 @@ def main():
     # ---- encode comparison (all-intra, both speed modes; the native
     # intra CTU-RDO encoder is the round-3 addition) ----
     _log("encode comparison")
+    # 6 frames + best-of-2 on the reference side: this sub-second toy
+    # config was dominated by spawn/scheduler noise at 2 frames
+    small6 = os.path.join(WORK, "small6.yuv")
+    gen_yuv(small6, 64, 48, 6)
     for sm, name in ((2, "fast"), (1, "slow")):
         sm_ref = os.path.join(WORK, "small_ref_sm%d.xvc" % sm)
-        t = ref_encode(enc, small, sm_ref, 64, 48,
+        t = ref_encode(enc, small6, sm_ref, 64, 48,
                        ["-qp", "32", "-num-ref-pics", "0",
-                        "-sub-gop-length", "1", "-speed-mode", str(sm)])
+                        "-sub-gop-length", "1", "-speed-mode", str(sm)],
+                       best_of=2)
         extra["ref_encode_64x48_ai_%s_mpixs" % name] = \
-            round(64 * 48 * 2 / t / 1e6, 4)
+            round(64 * 48 * 6 / t / 1e6, 4)
         sm_ours = os.path.join(WORK, "small_ours_sm%d.xvc" % sm)
-        t = our_encode_timed(small, sm_ours, 64, 48, 2, speed_mode=sm)
+        t = our_encode_timed(small6, sm_ours, 64, 48, 6, speed_mode=sm)
         extra["host_encode_64x48_ai_%s_mpixs" % name] = \
-            round(64 * 48 * 2 / t / 1e6, 4)
+            round(64 * 48 * 6 / t / 1e6, 4)
         # byte-identity vs the reference bitstream (same config)
         extra["encode_64x48_%s_byte_identical" % name] = (
             open(sm_ref, "rb").read() == open(sm_ours, "rb").read())
