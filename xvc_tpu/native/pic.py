@@ -493,23 +493,39 @@ def _replay_tree(pd, rec, roots, coeff):
                     stack.append((sub, r[7 + j]))
             continue
         cu.split = _SPLIT_NONE
-        cu.pred_mode = r[11]
-        cu.skip_flag = r[13] != 0
-        cu.merge_flag = r[14] != 0
-        cu.merge_idx = r[15]
-        cu.inter_dir = r[16]
-        cu.fullpel_mv = r[17] != 0
-        cu.use_affine = r[18] != 0
-        cu.use_lic = r[19] != 0
-        cu.root_cbf = r[20] != 0
-        cu.cbf = [r[21] != 0, r[22] != 0, r[23] != 0]
-        cu.transform_skip = [r[24] != 0, r[25] != 0, r[26] != 0]
-        cu.dc_only = [r[27] != 0, r[28] != 0, r[29] != 0]
-        cu.tx_type = [[r[30], r[31]], [r[32], r[33]]]
-        cu.tx_select_idx = r[34]
+        # fresh CUs carry reset_prediction_state defaults; store only
+        # the fields that differ (most flags are false on most leaves)
+        if r[13]:
+            cu.skip_flag = True
+        if r[14]:
+            cu.merge_flag = True
+            cu.merge_idx = r[15]
+        if r[20]:
+            cu.root_cbf = True
+        if r[21] or r[22] or r[23]:
+            cu.cbf = [r[21] != 0, r[22] != 0, r[23] != 0]
+        if r[24] or r[25] or r[26]:
+            cu.transform_skip = [r[24] != 0, r[25] != 0, r[26] != 0]
+        if r[27] or r[28] or r[29]:
+            cu.dc_only = [r[27] != 0, r[28] != 0, r[29] != 0]
+        if r[30] or r[31] or r[32] or r[33]:
+            cu.tx_type = [[r[30], r[31]], [r[32], r[33]]]
+        if r[34] != -1:
+            cu.tx_select_idx = r[34]
         if r[11]:  # inter: final (derived) MVs
-            cu.ref_idx = [r[35], r[36]]
-            cu.mvp_idx = [r[37], r[38]]
+            cu.pred_mode = 1
+            if r[16]:
+                cu.inter_dir = r[16]
+            if r[17]:
+                cu.fullpel_mv = True
+            if r[18]:
+                cu.use_affine = True
+            if r[19]:
+                cu.use_lic = True
+            if r[35] or r[36]:
+                cu.ref_idx = [r[35], r[36]]
+            if r[37] or r[38]:
+                cu.mvp_idx = [r[37], r[38]]
             cu.mv = [[(r[41], r[42]), (r[43], r[44]),
                       (r[45], r[46]), (r[47], r[48])],
                      [(r[49], r[50]), (r[51], r[52]),
