@@ -355,6 +355,15 @@ static inline CoeffNbrStats CoeffNeighborStats(int posx, int posy, int w,
 #define XVCN_NBR_ACC(v)                                                \
   a = (int)(v); a = a < 0 ? -a : a;                                    \
   s.nz += a != 0; s.gt1 += a > 1; s.gt2 += a > 2; s.abs_sum += a;
+  if (posx < w - 2 && posy < h - 2) {
+    // interior: all five neighbors in range, no per-load branches
+    XVCN_NBR_ACC(row[1]);
+    XVCN_NBR_ACC(row[2]);
+    XVCN_NBR_ACC(row[stride + 1]);
+    XVCN_NBR_ACC(row[stride]);
+    XVCN_NBR_ACC(row[2 * stride]);
+    return s;
+  }
   if (posx < w - 1) {
     XVCN_NBR_ACC(row[1]);
     if (posx < w - 2) { XVCN_NBR_ACC(row[2]); }
