@@ -44,8 +44,12 @@ class JaxReconstructor:
         self.hp_mv = not self.restr.disable_ext2_inter_high_precision_mv
         self._itx_groups = {}   # key -> [(coeff, scale, comp, cx, cy)]
         self._mc_groups = {}    # key -> [(plane_ref, y0, x0, fx, fy,
-                                #           dest_buf, dy, dx)]
-        self._inter_recs = []   # (cu, comp, kind, bufs)
+                                #           dest_plane, dy, dx)]
+        self._inter_recs = []   # (cu, comp, kind)
+        # per-(list-slot, comp) int16 prediction planes: MC gathers land
+        # directly in picture coordinates (no per-CU buffers), and the
+        # bi average / residual add / clip run as whole-plane ops
+        self._pred_planes = {}
         self._planes = {}       # (id(pic), comp) -> (shape, index)
         self._stacks = {}       # shape -> [np padded planes]
 
@@ -188,6 +192,15 @@ class JaxReconstructor:
             lst.append(entry)
         return self._planes[pkey]
 
+    def _pred_plane(self, slot, comp):
+        key = (slot, comp)
+        pl = self._pred_planes.get(key)
+        if pl is None:
+            pl = np.empty((self.rec.height[comp], self.rec.width[comp]),
+                          np.int16)
+            self._pred_planes[key] = pl
+        return pl
+
     def _add_mc_jobs(self, cu, comp):
         if cu.inter_dir != k.InterDir.BI:
             lists = [(0 if cu.inter_dir == k.InterDir.L0 else 1, False)]
@@ -195,10 +208,8 @@ class JaxReconstructor:
             lists = [(0, True), (1, True)]
         cx, cy = cu.pos(comp)
         w, h = cu.size(comp)
-        bufs = []
-        for ref_list, short in lists:
-            buf = np.zeros((h, w), dtype=np.int32)
-            bufs.append(buf)
+        for slot, (ref_list, short) in enumerate(lists):
+            dest = self._pred_plane(slot, comp)
             ref_pic = self.pic.ref_pic_lists.get_ref_pic(
                 ref_list, cu.ref_idx[ref_list])
             if cu.use_affine:
@@ -210,7 +221,8 @@ class JaxReconstructor:
                     _, sw, sh, jobs = plan
                     for (x0, y0, fx, fy, dx, dy) in jobs:
                         self._emit_mc(ref_pic, comp, sw, sh, short,
-                                      x0, y0, fx, fy, buf, dy, dx)
+                                      x0, y0, fx, fy, dest,
+                                      cy + dy, cx + dx)
                     continue
                 mv = plan[1]
             else:
@@ -218,9 +230,9 @@ class JaxReconstructor:
             pel_x, pel_y, fx, fy = inter_mc.get_fullpel_ref(
                 cu, comp, ref_pic, mv[0], mv[1], self.restr)
             self._emit_mc(ref_pic, comp, w, h, short,
-                          cx + pel_x, cy + pel_y, fx, fy, buf, 0, 0)
-        kind = "bi" if len(bufs) == 2 else "uni"
-        self._inter_recs.append((cu, comp, kind, bufs))
+                          cx + pel_x, cy + pel_y, fx, fy, dest, cy, cx)
+        self._inter_recs.append((cu, comp,
+                                 "bi" if len(lists) == 2 else "uni"))
 
     @staticmethod
     def _bucket(n):
@@ -391,19 +403,29 @@ class JaxReconstructor:
         return dsp.gather_flat(outs), metas
 
     def _write_inter(self, resi):
+        if not self._inter_recs:
+            return
         max_pel = (1 << self.bitdepth) - 1
-        for cu, comp, kind, bufs in self._inter_recs:
+        # whole-plane math (uni pixels read slot-0, bi pixels the exact
+        # add_avg of both slots; untouched pixels are never stored), then
+        # one rectangle copy per (CU, comp)
+        uni_reco, bi_reco = {}, {}
+        kinds = {(comp, kind) for _, comp, kind in self._inter_recs}
+        for comp, kind in kinds:
+            p0 = self._pred_planes[(0, comp)]
+            if kind == "bi":
+                pred = inter_mc.add_avg_bi(p0, self._pred_planes[(1, comp)],
+                                           self.bitdepth)
+                bi_reco[comp] = np.clip(pred + resi[comp], 0, max_pel)
+            else:
+                uni_reco[comp] = np.clip(p0.astype(np.int32) + resi[comp],
+                                         0, max_pel)
+        for cu, comp, kind in self._inter_recs:
             cx, cy = cu.pos(comp)
             w, h = cu.size(comp)
-            if kind == "bi":
-                pred = inter_mc.add_avg_bi(bufs[0].astype(np.int16),
-                                           bufs[1].astype(np.int16),
-                                           self.bitdepth)
-            else:
-                pred = bufs[0]
-            reco = np.clip(pred + resi[comp][cy:cy + h, cx:cx + w],
-                           0, max_pel)
-            self.rec.plane_view(comp)[cy:cy + h, cx:cx + w] = reco
+            src = bi_reco[comp] if kind == "bi" else uni_reco[comp]
+            self.rec.plane_view(comp)[cy:cy + h, cx:cx + w] = \
+                src[cy:cy + h, cx:cx + w]
 
     # ------------------------------------------------------------------
     # stage D: sequential intra / LIC tail
