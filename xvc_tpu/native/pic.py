@@ -461,6 +461,93 @@ def parse_available():
     return LIB is not None and hasattr(LIB, "xvcn_parse_picture")
 
 
+# Shared leaf defaults for the replay's fast CU factory.  The decode
+# path never mutates these lists in place after parse (the Python
+# syntax reader does, but it constructs its CUs through __init__ with
+# fresh lists; replay CUs skip the reader entirely and calculate_mv is
+# bypassed via pd.mv_resolved), so CUs that keep a default can share
+# one object.  Fields the replay assigns per-item (coeff) stay fresh.
+_MV0 = [[(0, 0)] * 4, [(0, 0)] * 4]
+_MVD0 = [[(0, 0), (0, 0)], [(0, 0), (0, 0)]]
+_IDX0 = [0, 0]
+_F3 = [False, False, False]
+_TT0 = [[0, 0], [0, 0]]
+_EMPTY_SUBS = []
+
+
+def _fast_cu(pic, tree, depth, x, y, w, h):
+    """CodingUnit with reset_prediction_state-equivalent defaults but
+    shared default containers (codec/cu.py __init__ is the hot cost of
+    the tree replay: ~12 list allocations per CU)."""
+    if x >= pic.width or y >= pic.height:
+        return None
+    from ..codec.cu import CodingUnit
+    cu = object.__new__(CodingUnit)
+    cu.pic = pic
+    cu.cu_tree = tree
+    cu.depth = depth
+    cu.pos_x = x
+    cu.pos_y = y
+    cu.width = w
+    cu.height = h
+    cu.split = 0
+    cu.sub_cus = _EMPTY_SUBS
+    cu.pred_mode = 0
+    cu.qp = None
+    cu.intra_mode_luma = k.INTRA_MODE_INVALID
+    cu.intra_mode_chroma = k.INTRA_MODE_INVALID
+    cu.inter_dir = 0
+    cu.skip_flag = False
+    cu.merge_flag = False
+    cu.merge_idx = -1
+    cu.fullpel_mv = False
+    cu.use_affine = False
+    cu.use_lic = False
+    cu.mv = _MV0
+    cu.mvd = _MVD0
+    cu.ref_idx = _IDX0
+    cu.mvp_idx = _IDX0
+    cu.root_cbf = False
+    cu.cbf = _F3
+    cu.transform_skip = _F3
+    cu.dc_only = _F3
+    cu.tx_type = _TT0
+    cu.tx_select_idx = -1
+    cu.coeff = [None, None, None]
+    return cu
+
+
+def _fast_split(cu, split):
+    """do_split twin using the fast factory (same child geometry/order,
+    ref: codec/cu.py CodingUnit.do_split)."""
+    cu.split = split
+    pic = cu.pic
+    tree = cu.cu_tree
+    sw, sh = cu.width >> 1, cu.height >> 1
+    if split == 1:  # QUAD
+        d = cu.depth + 1
+        cu.sub_cus = [
+            _fast_cu(pic, tree, d, cu.pos_x, cu.pos_y, sw, sh),
+            _fast_cu(pic, tree, d, cu.pos_x + sw, cu.pos_y, sw, sh),
+            _fast_cu(pic, tree, d, cu.pos_x, cu.pos_y + sh, sw, sh),
+            _fast_cu(pic, tree, d, cu.pos_x + sw, cu.pos_y + sh, sw, sh),
+        ]
+    elif split == 2:  # HORIZONTAL
+        cu.sub_cus = [
+            _fast_cu(pic, tree, cu.depth, cu.pos_x, cu.pos_y,
+                     cu.width, sh),
+            _fast_cu(pic, tree, cu.depth, cu.pos_x, cu.pos_y + sh,
+                     cu.width, sh),
+        ]
+    else:  # VERTICAL
+        cu.sub_cus = [
+            _fast_cu(pic, tree, cu.depth, cu.pos_x, cu.pos_y,
+                     sw, cu.height),
+            _fast_cu(pic, tree, cu.depth, cu.pos_x + sw, cu.pos_y,
+                     sw, cu.height),
+        ]
+
+
 def _replay_tree(pd, rec, roots, coeff):
     """Rebuild the Python CU tree from exported parse records (record
     index == native pool slot; child indices are absolute)."""
@@ -487,12 +574,12 @@ def _replay_tree(pd, rec, roots, coeff):
         cu.qp = get_qp(r[12])
         split = r[6]
         if split:
-            cu.do_split(SplitType(split))
+            _fast_split(cu, split)
             for j, sub in enumerate(cu.sub_cus):
                 if sub is not None:
                     stack.append((sub, r[7 + j]))
             continue
-        cu.split = _SPLIT_NONE
+        cu.split = 0
         # fresh CUs carry reset_prediction_state defaults; store only
         # the fields that differ (most flags are false on most leaves)
         if r[13]:
