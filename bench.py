@@ -165,12 +165,15 @@ def our_decode_timed(bitstream_path, expect_path, dsp, profile=False,
 
 
 def our_encode_timed(yuv, out, w, h, n_frames, speed_mode=2,
-                     num_ref_pics=0, sub_gop_length=1):
+                     num_ref_pics=0, sub_gop_length=1, profile=False):
     """Encode in a fresh process; returns seconds of the encode loop
-    only (interpreter/import cost excluded)."""
+    only (interpreter/import cost excluded).  With profile=True returns
+    (seconds, per-stage dict) — the per-TU native timers add ~10-15%
+    overhead, so the profiled pass is separate from the timed one."""
     code = (
-        "import time\n"
-        "from xvc_tpu import api\n"
+        "import time, json\n"
+        "from xvc_tpu import api, profiling\n"
+        "profiling.enable(%r)\n"
         "raw = open(%r,'rb').read()\n"
         "p = api.EncoderParameters(width=%d, height=%d, qp=32,\n"
         "    input_bitdepth=8, internal_bitdepth=8,\n"
@@ -187,13 +190,21 @@ def our_encode_timed(yuv, out, w, h, n_frames, speed_mode=2,
         "                for n in nals)\n"
         "open(%r,'wb').write(data)\n"
         "print('T=%%.4f' %% t)\n"
-        % (yuv, w, h, num_ref_pics, sub_gop_length, speed_mode,
+        "print('P=' + json.dumps({k: round(v['seconds'], 4) for k, v in\n"
+        "                         profiling.report().items()}))\n"
+        % (profile, yuv, w, h, num_ref_pics, sub_gop_length, speed_mode,
            w, h, n_frames, out))
     env = dict(os.environ, PYTHONPATH=PYPATH)
     r = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
                        capture_output=True, text=True, timeout=1800,
                        check=True)
     line = [ln for ln in r.stdout.splitlines() if ln.startswith("T=")][0]
+    if profile:
+        prof = {}
+        for ln in r.stdout.splitlines():
+            if ln.startswith("P="):
+                prof = json.loads(ln[2:])
+        return float(line[2:]), prof
     return float(line[2:])
 
 
@@ -473,6 +484,16 @@ def main():
                          num_ref_pics=1, sub_gop_length=1)
     extra["host_encode_720p_ld_fast_mpixs"] = \
         round(1280 * 720 * 4 / t / 1e6, 4)
+    try:
+        _, prof = our_encode_timed(hd4, hd_ours_enc, 1280, 720, 4,
+                                   speed_mode=2, num_ref_pics=1,
+                                   sub_gop_length=1, profile=True)
+        extra["profile_encode_720p_ld"] = {
+            k2: v for k2, v in sorted(prof.items(),
+                                      key=lambda kv: -kv[1])
+            if k2.startswith("encode.")}
+    except Exception as e:
+        extra["profile_encode_720p_ld_error"] = repr(e)[:160]
     extra["encode_720p_ld_fast_byte_identical"] = (
         open(hd_ref_enc, "rb").read() == open(hd_ours_enc, "rb").read())
 

@@ -92,6 +92,13 @@ class XvcnEncPicParams(c.Structure):
         ("start_frac_bits", c.c_int64),
         ("status", c.c_int32),
         ("pad2_", c.c_int32),
+        ("profile", c.c_int32),
+        ("pad5_", c.c_int32),
+        ("me_ns", c.c_int64),
+        ("intra_search_ns", c.c_int64),
+        ("txrd_ns", c.c_int64),
+        ("write_ns", c.c_int64),
+        ("deblock_ns", c.c_int64),
     ]
 
 
@@ -241,8 +248,19 @@ def encode_picture(pic_encoder, segment, settings, base_qp):
             else:
                 rp.mvfield = 0
                 rp.mf_stride = 0
+    from ..profiling import add_span_time, enabled as _prof_enabled
+    p.profile = 1 if _prof_enabled() else 0
     from . import LIB
     status = LIB.xvcn_encode_picture_intra(c.byref(p))
+    if p.profile:
+        # me/intra_search overlap txrd: txrd is a nested sub-span of
+        # both search stages (same convention as decode.native.recon.*);
+        # the "encode.native" total span lives in picture_encoder.py
+        add_span_time("encode.native.me", p.me_ns / 1e9)
+        add_span_time("encode.native.intra_search", p.intra_search_ns / 1e9)
+        add_span_time("encode.native.txrd", p.txrd_ns / 1e9)
+        add_span_time("encode.native.write", p.write_ns / 1e9)
+        add_span_time("encode.native.deblock", p.deblock_ns / 1e9)
     del keep_alive
     if status != 0:
         raise RuntimeError("native encode failed (status %d)" % status)
