@@ -299,7 +299,7 @@ class CuEncoder(TransformEncoder):
 
     def _compress_inter_pic(self, best_cu_holder, qp, rdo_depth,
                             cache_result, writer):
-        from .inter_search_rd import compress_inter_pic
+        from .inter_me import compress_inter_pic
         return compress_inter_pic(self, best_cu_holder, qp, rdo_depth,
                                   cache_result, writer)
 

@@ -383,10 +383,10 @@ class Decoder:
             self.num_corrupted_pics += 1
 
 
-def decode_stream(data, max_pics=None):
+def decode_stream(data, max_pics=None, num_threads=0):
     """Convenience: decode a full length-prefixed stream, return pictures."""
     from ..nal import split_nal_units
-    dec = Decoder()
+    dec = Decoder(num_threads=num_threads)
     pics = []
     for nal in split_nal_units(data):
         dec.decode_nal(nal)
