@@ -433,8 +433,15 @@ def sec_device_kernels(ctx):
         "    out['kernel_satd8_xla%s_mpixs'] = round(r['xla'], 1)\n"
         "except Exception as e:\n"
         "    out['kernel_pallas_error'] = repr(e)[:120]\n"
+        "try:\n"
+        "    from xvc_tpu.tpu import device_bench as db\n"
+        "    out['device_compute_mc%s'] = db.mc_device_bench()\n"
+        "    out['device_compute_itx%s'] = db.itx_device_bench()\n"
+        "except Exception as e:\n"
+        "    out['device_compute_error'] = repr(e)[:120]\n"
         "print('KERN=' + json.dumps(out))\n"
-        % (kern_suffix, kern_suffix, kern_suffix))
+        % (kern_suffix, kern_suffix, kern_suffix, kern_suffix,
+           kern_suffix))
     r = subprocess.run([sys.executable, "-c", kern_code],
                        env=dict(os.environ, PYTHONPATH=PYPATH),
                        cwd=REPO, capture_output=True, text=True,

@@ -555,19 +555,16 @@ class PictureData:
             self.cu_tree_components = [[0], []]
         self.max_binary_split_depth = segment.max_binary_split_depth
         self.pic_qp = pic_qp
+        # parameters for lazy qp-table construction (light init defers
+        # it; the flat decode path only touches a handful of raw qps)
+        self._qp_params = (recalculate_lambda, segment.chroma_qp_offset_table,
+                           segment.chroma_qp_offset_u,
+                           segment.chroma_qp_offset_v)
+        if light:
+            self.qps = None
+        else:
+            self._build_qps()
         if not light:
-            self.qps = []
-            for i in range(k.MAX_ALLOWED_QP + 1):
-                if recalculate_lambda:
-                    lambda_tmp = 0.57 * 2.0 ** ((i - 12) / 3.0)
-                else:
-                    lambda_tmp = pic_qp.get_lambda() * \
-                        2.0 ** ((i - pic_qp.get_qp_raw(0)) / 3.0)
-                self.qps.append(Qp(i, self.chroma_format, self.bitdepth,
-                                   lambda_tmp,
-                                   segment.chroma_qp_offset_table,
-                                   segment.chroma_qp_offset_u,
-                                   segment.chroma_qp_offset_v))
             for tree in range(k.MAX_NUM_CU_TREES):
                 n = self.cu_stride * self.cu_rows
                 self.cu_table[tree] = [None] * n
@@ -652,7 +649,22 @@ class PictureData:
             (posx // k.MIN_BLOCK_SIZE)
         return self.cu_table[int(cu_tree)][idx]
 
+    def _build_qps(self):
+        recalculate_lambda, tab, off_u, off_v = self._qp_params
+        pic_qp = self.pic_qp
+        self.qps = []
+        for i in range(k.MAX_ALLOWED_QP + 1):
+            if recalculate_lambda:
+                lambda_tmp = 0.57 * 2.0 ** ((i - 12) / 3.0)
+            else:
+                lambda_tmp = pic_qp.get_lambda() * \
+                    2.0 ** ((i - pic_qp.get_qp_raw(0)) / 3.0)
+            self.qps.append(Qp(i, self.chroma_format, self.bitdepth,
+                               lambda_tmp, tab, off_u, off_v))
+
     def get_qp_obj(self, raw_qp):
+        if self.qps is None:
+            self._build_qps()  # deferred by light init
         return self.qps[min(max(raw_qp, 0), k.MAX_ALLOWED_QP)]
 
     def create_cu(self, cu_tree, depth, posx, posy, width, height):

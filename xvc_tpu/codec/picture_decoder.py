@@ -162,6 +162,9 @@ class PictureDecoder:
         self.alt_rec_pic = None
         self.rec_pic._dev_planes = None  # invalidate device ref cache
         self.rec_pic._dev_pre_deblock = None
+        if getattr(self.rec_pic, "_dev_slot", None) is not None:
+            from ..tpu.flat_recon import release_slot
+            release_slot(self.rec_pic)  # buffer recycled: free DPB slot
         self.rec_pic.invalidate_shadow16()  # buffer recycled
         pd = self.pic_data
         pd.nal_type = header.nal_unit_type
@@ -194,7 +197,18 @@ class PictureDecoder:
         # them) take the Python int32 path
         native_pic_decode = not jax_dsp and use_native_pic_decode() and \
             pd.bitdepth <= 14
-        pd.init(segment, qp, True, light=native_pic_decode)
+        # flat record-driven device path (tpu/flat_recon.py): needs the
+        # native parse and the default toolset; no Python CU tree at all
+        use_flat = False
+        if jax_dsp and pd.bitdepth <= 14 and use_native_pic_decode():
+            from ..native import pic as native_pic
+            if native_pic.parse_available():
+                from ..engine import get_mesh
+                from ..tpu import flat_recon
+                use_flat = get_mesh() is None and \
+                    flat_recon.eligible(pd, restr)
+        pd.init(segment, qp, True,
+                light=native_pic_decode or use_flat)
         pd.mv_resolved = False
         pd._parse_records = None
         success = True
@@ -212,16 +226,18 @@ class PictureDecoder:
             if jax_dsp and pd.bitdepth <= 14 and use_native_pic_decode():
                 from ..native import pic as native_pic
                 native_parse = native_pic.parse_available()
-            cu_decoder = CuDecoder(self.rec_pic, pd, restr)
+            cu_decoder = None
             if native_parse:
-                # CABAC parse + MV derivation in C++, CU tree replayed
-                # from flat records (native/pic.py parse_picture); the
-                # batched device stages consume the tree as usual.
+                # CABAC parse + MV derivation in C++; the flat path
+                # consumes the record table directly, the replay path
+                # rebuilds the Python CU tree for tpu/recon.py.
                 from ..native import pic as native_pic
                 with span("decode.parse"):
-                    success = native_pic.parse_picture(self, segment,
-                                                       bit_reader, qp)
+                    success = native_pic.parse_picture(
+                        self, segment, bit_reader, qp,
+                        replay=not use_flat)
             else:
+                cu_decoder = CuDecoder(self.rec_pic, pd, restr)
                 reader = SyntaxReader(qp, pd.get_prediction_type(),
                                       bit_reader, restr)
                 with span("decode.parse" if jax_dsp
@@ -230,8 +246,15 @@ class PictureDecoder:
                         cu_decoder.decode_ctu(rsaddr, reader,
                                               reconstruct=not jax_dsp)
             if jax_dsp:
-                from ..tpu.recon import JaxReconstructor
-                JaxReconstructor(cu_decoder).reconstruct_picture()
+                if use_flat:
+                    from ..tpu import flat_recon
+                    with span("decode.flat"):
+                        flat_recon.reconstruct(self, segment, qp)
+                else:
+                    if cu_decoder is None:
+                        cu_decoder = CuDecoder(self.rec_pic, pd, restr)
+                    from ..tpu.recon import JaxReconstructor
+                    JaxReconstructor(cu_decoder).reconstruct_picture()
             if pd.deblock:
                 with span("decode.deblock"):
                     deblocker = DeblockingFilter(pd, self.rec_pic,

@@ -629,8 +629,12 @@ def _replay_tree(pd, rec, roots, coeff):
                 cu.coeff[comp] = None
 
 
-def parse_picture(pic_decoder, segment, bit_reader, qp):
-    """Native parse + MV derivation + Python tree replay.
+def parse_picture(pic_decoder, segment, bit_reader, qp, replay=True):
+    """Native parse + MV derivation (+ Python tree replay).
+
+    With replay=False only the flat record table / coefficient arena /
+    motion field are produced (the record-driven device path,
+    tpu/flat_recon.py, never touches Python CU objects).
 
     Same contract as decode_picture: returns conformance success,
     raises ValueError on parse errors."""
@@ -736,18 +740,24 @@ def parse_picture(pic_decoder, segment, bit_reader, qp):
         raise ValueError("corrupt bitstream (native parse status %d)"
                          % status)
     rec = np.empty((int(nrec.value), PARSE_REC_STRIDE), dtype=np.int32)
-    roots = np.empty(2 * pd.get_number_of_ctus(), dtype=np.int32)
+    # sized from geometry, NOT get_number_of_ctus(): the flat path
+    # (light pd.init) never allocates the Python CTU lists
+    roots = np.empty(2 * pd.ctu_num_x * pd.ctu_num_y, dtype=np.int32)
     LIB.xvcn_export_parse(rec.ctypes.data, PARSE_REC_STRIDE,
                           roots.ctypes.data)
-    from ..profiling import span
-    with span("decode.parse.replay"):
-        _replay_tree(pd, rec, roots, coeff)
+    if replay:
+        from ..profiling import span
+        with span("decode.parse.replay"):
+            _replay_tree(pd, rec, roots, coeff)
     bit_reader.pos = p.out_bs_pos
     bit_reader.bit_mask = 0x80
     pd._xvcn_mvfield = mvfield
     pd._xvcn_mf_stride = cols
     pd.mv_resolved = True
     # the flat record table also feeds the vectorized deblock cu-map
-    # builder (ops/deblock.py _build_cu_maps_from_records)
+    # builder (ops/deblock.py _build_cu_maps_from_records) and the
+    # record-driven device reconstruction (tpu/flat_recon.py)
     pd._parse_records = rec
+    pd._parse_coeff = coeff[:int(ncoeff.value)]
+    pd._parse_status = status
     return status == 0

@@ -119,6 +119,8 @@ class DeblockingFilter:
         is_intra = lr[:, 11] == 0
         attrs[:, 4] = is_intra
         attrs[:, 5] = lr[:, 21] != 0
+        if pic.qps is None:
+            pic._build_qps()  # deferred by light init (flat decode path)
         qp_lut0 = np.array([q.get_qp_raw(0) for q in pic.qps], np.int32)
         qp_lut1 = np.array([q.get_qp_raw(1) for q in pic.qps], np.int32)
         attrs[:, 6] = qp_lut0[lr[:, 12]]

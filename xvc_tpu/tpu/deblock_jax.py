@@ -363,11 +363,15 @@ def deblock_picture_jax(filt):
     work = []  # (direction, kind, payload-handles...)
     batch = dsp.DevBatch()
     plane_handles = {}
-    luma_dev = getattr(rec, "_dev_pre_deblock", None)
+    pre = getattr(rec, "_dev_pre_deblock", None)
     rec._dev_pre_deblock = None
+    if pre is None:
+        pre = {}
+    elif not isinstance(pre, dict):
+        pre = {0: pre}  # legacy: luma-only device plane
     for comp in range(pic.max_num_components):
-        if comp == 0 and luma_dev is not None:
-            continue  # device-resident from the intra scan
+        if comp in pre:
+            continue  # device-resident from the reconstruction stage
         plane_handles[comp] = batch.add(
             rec.plane_view(comp).astype(np.int16))
     with span("deblock.meta"):
@@ -385,8 +389,25 @@ def deblock_picture_jax(filt):
                 if do_luma:
                     mask, tc, beta = luma_edge_tensors(
                         meta, sbs, filt.beta_offset, filt.tc_offset, bd)
+                    # prune fully-inactive edges (no-op scan steps):
+                    # typically well over half the 4-grid edge columns
+                    # have bs==0 for every row group
+                    act = mask.any(axis=1)
+                    xs = meta["xs"].astype(np.int32)[act]
+                    mask, tc, beta = mask[act], tc[act], beta[act]
+                    if not len(xs):
+                        continue
+                    pad = dsp.pad_pow2(len(xs)) - len(xs)
+                    if pad:
+                        # padded steps carry a real edge position with an
+                        # all-false mask (exact no-ops)
+                        xs = np.concatenate([xs, np.full(pad, xs[-1],
+                                                         np.int32)])
+                        zf = lambda a: np.concatenate(
+                            [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+                        mask, tc, beta = zf(mask), zf(tc), zf(beta)
                     work.append((direction, "luma", sbs,
-                                 batch.add(meta["xs"].astype(np.int32)),
+                                 batch.add(xs),
                                  batch.add(mask.astype(np.int32)),
                                  batch.add(tc), batch.add(beta)))
                 if do_chroma:
@@ -406,8 +427,7 @@ def deblock_picture_jax(filt):
 
     # phase 2: run the passes with device-resident data
     planes_dev = {comp: batch.get(h) for comp, h in plane_handles.items()}
-    if luma_dev is not None:
-        planes_dev[0] = luma_dev
+    planes_dev.update(pre)
 
     # CTU-row sharding over the mesh (SURVEY.md §2.5 TPU mapping): each
     # filter direction is embarrassingly parallel across the along-edge
@@ -455,20 +475,19 @@ def deblock_picture_jax(filt):
 
     # Keep the final planes resident on the device for future MC
     # references: edge-replicate padding (the device pad_border) plus a
-    # 64-sample right/bottom margin for bucketed MC windows.  The host
-    # copy (checksums/output) comes back in a single download.
-    dev_cache = {}
-    for comp in range(pic.max_num_components):
-        pl = planes_dev[comp]
-        px, py = rec.pad_x[comp], rec.pad_y[comp]
-        core = jnp.concatenate([
-            jnp.repeat(pl[:1], py, axis=0), pl,
-            jnp.repeat(pl[-1:], py + 64, axis=0)], axis=0)
-        full = jnp.concatenate([
-            jnp.repeat(core[:, :1], px, axis=1), core,
-            jnp.repeat(core[:, -1:], px + 64, axis=1)], axis=1)
-        dev_cache[comp] = full
-    rec._dev_planes = dev_cache
+    # 64-sample right/bottom margin for bucketed MC windows, written in
+    # place into the frame-store superstack (tpu/flat_recon.py).  The
+    # host copy (checksums/output) comes back in a single download.
+    # Under a mesh the planes carry shardings that must not be folded
+    # into the (single-device) superstack: keep the per-picture device
+    # cache the sharded reconstructor consumes instead.
+    from .flat_recon import device_pad_planes, frame_store_put
+    dev_cache = device_pad_planes(
+        rec, {c: planes_dev[c] for c in range(pic.max_num_components)})
+    if mesh is None:
+        frame_store_put(rec, dev_cache)
+    else:
+        rec._dev_planes = dev_cache
     with span("deblock.download"):
         flat, offs = dsp.gather_flat(
             [planes_dev[c] for c in range(pic.max_num_components)])

@@ -71,7 +71,12 @@ def _ensure_compile_cache():
             suffix = "cpu_" + hid
         jax.config.update("jax_compilation_cache_dir",
                           "%s_%s" % (cache_dir, suffix))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        # Only persist kernels that took real compile time: with 0 every
+        # trivial eager op (plane slicing/concat) pays a disk+zstd round
+        # trip per DISPATCH on cache hits too, which dominated decode
+        # wall-clock (~100ms/op observed).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.75)
     except Exception:
         pass
 

@@ -173,15 +173,22 @@ class JaxReconstructor:
 
     def _plane_index(self, ref_pic, comp):
         """Reference planes stay resident on the device across pictures:
-        the deblock stage attaches its padded device output to the
-        picture (_dev_planes); only planes never produced on device
-        (e.g. rescaled alt-rec pics, deblock-off streams) are uploaded.
-        Every entry is padded 64 right/bottom so bucketed MC windows
-        never clamp."""
+        the deblock stage writes its padded output into the frame-store
+        superstack (tpu/flat_recon.py _dev_slot) or, under a mesh,
+        attaches it to the picture (_dev_planes); only planes never
+        produced on device (e.g. rescaled alt-rec pics, deblock-off
+        streams) are uploaded.  Every entry is padded 64 right/bottom so
+        bucketed MC windows never clamp."""
         pkey = (id(ref_pic), comp)
         if pkey not in self._planes:
-            dev = getattr(ref_pic, "_dev_planes", None)
-            entry = dev.get(comp) if dev else None
+            entry = None
+            slot_ent = getattr(ref_pic, "_dev_slot", None)
+            if slot_ent is not None:
+                store, slot = slot_ent
+                entry = store.plane(slot, comp)
+            if entry is None:
+                dev = getattr(ref_pic, "_dev_planes", None)
+                entry = dev.get(comp) if dev else None
             if entry is None:
                 entry = np.pad(
                     ref_pic.padded_plane(comp).astype(np.int16),
