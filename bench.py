@@ -622,6 +622,7 @@ def sec_mesh_4k(ctx):
         "from jax.sharding import Mesh\n"
         "from xvc_tpu import engine\n"
         "from xvc_tpu.codec.decoder import decode_stream\n"
+        "from xvc_tpu.tpu import dsp\n"
         "bs = open(%r,'rb').read()\n"
         "want = open(%r,'rb').read()\n"
         "os.environ['XVC_DSP'] = 'jax'\n"
@@ -630,9 +631,16 @@ def sec_mesh_4k(ctx):
         "    engine.set_mesh(Mesh(np.array(jax.devices()[:n]), ('blk',)))\n"
         "    try:\n"
         "        decode_stream(bs)  # warm compile for this mesh\n"
-        "        t0 = time.perf_counter()\n"
-        "        pics = decode_stream(bs)\n"
-        "        res['t%%d' %% n] = round(time.perf_counter() - t0, 3)\n"
+        "        best = None\n"
+        "        for _ in range(2):  # best-of-2, like the reference side\n"
+        "            dsp.stats_reset()\n"
+        "            t0 = time.perf_counter()\n"
+        "            pics = decode_stream(bs)\n"
+        "            dt = round(time.perf_counter() - t0, 3)\n"
+        "            if best is None or dt < best:\n"
+        "                best = dt\n"
+        "                res['xfer%%d' %% n] = dsp.stats_snapshot()\n"
+        "        res['t%%d' %% n] = best\n"
         "        out = b''.join(p.bytes for p in pics)\n"
         "        res['ok%%d' %% n] = (out == want and\n"
         "                           all(p.conforming for p in pics))\n"

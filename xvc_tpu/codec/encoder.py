@@ -136,6 +136,11 @@ class Encoder:
             restr.disable_ext2_inter_local_illumination_comp = True
         if settings.fast_inter_adaptive_fullpel_mv:
             restr.disable_ext2_inter_adaptive_fullpel_mv = True
+        for name in (settings.explicit_restrictions or ()):
+            # free-form signaled restriction flags (the encoder-side
+            # analog of -restricted-mode for single flags; written to
+            # and obeyed from the segment header like any restriction)
+            setattr(restr, name, True)
 
     # ---- encoding ----
     def encode(self, pic_bytes, user_data=0):

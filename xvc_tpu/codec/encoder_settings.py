@@ -83,6 +83,9 @@ class EncoderSettings:
     lambda_scale_a: float = 1.0
     lambda_scale_b: float = 0.0
     restricted_mode: int = 0
+    # free-form signaled restriction flag names, applied on top of
+    # restricted_mode (e.g. ("disable_inter_tmvp_mvp",)); None = none
+    explicit_restrictions: tuple = None
 
     def initialize_speed(self, speed_mode):
         if speed_mode == SpeedMode.PLACEBO:

@@ -162,9 +162,9 @@ class PictureDecoder:
         self.alt_rec_pic = None
         self.rec_pic._dev_planes = None  # invalidate device ref cache
         self.rec_pic._dev_pre_deblock = None
-        if getattr(self.rec_pic, "_dev_slot", None) is not None:
+        if getattr(self.rec_pic, "_dev_slots", None):
             from ..tpu.flat_recon import release_slot
-            release_slot(self.rec_pic)  # buffer recycled: free DPB slot
+            release_slot(self.rec_pic)  # buffer recycled: free DPB slots
         self.rec_pic.invalidate_shadow16()  # buffer recycled
         pd = self.pic_data
         pd.nal_type = header.nal_unit_type
@@ -182,6 +182,34 @@ class PictureDecoder:
         pd.ref_pic_lists = ref_pic_list
 
     def decode(self, segment, prev_segment, bit_reader, post_process=True):
+        """Decode one picture.  With a mesh installed (engine.set_mesh)
+        and no pin yet, this is the GOP-across-devices decode pipeline
+        (the mesh analog of the reference's picture-level thread pool,
+        ref: src/xvc_dec_lib/thread_decoder.cc:109-176): the picture's
+        batched device stages run pinned to one mesh device (round-robin
+        over DOC) while its reference planes move device-to-device once
+        via the frame store (tpu/flat_recon.py ensure_slot).  Placement
+        cannot change any integer result, so mesh-pinned == unsharded,
+        byte for byte (tests/test_sharding.py)."""
+        from ..engine import (use_jax_dsp, get_mesh, get_pin_device,
+                              set_pin_device)
+        if not (use_jax_dsp() and get_mesh() is not None
+                and get_pin_device() is None):
+            return self._decode_impl(segment, prev_segment, bit_reader,
+                                     post_process)
+        import jax
+        devs = list(get_mesh().devices.flat)
+        pin = devs[self.pic_data.doc % len(devs)]
+        set_pin_device(pin)
+        try:
+            with jax.default_device(pin):
+                return self._decode_impl(segment, prev_segment,
+                                         bit_reader, post_process)
+        finally:
+            set_pin_device(None)
+
+    def _decode_impl(self, segment, prev_segment, bit_reader,
+                     post_process=True):
         pd = self.pic_data
         self.finish_post()  # join any stale async post before buffer reuse
         restr = segment.restrictions
@@ -203,9 +231,13 @@ class PictureDecoder:
         if jax_dsp and pd.bitdepth <= 14 and use_native_pic_decode():
             from ..native import pic as native_pic
             if native_pic.parse_available():
-                from ..engine import get_mesh
+                from ..engine import get_mesh, get_pin_device
                 from ..tpu import flat_recon
-                use_flat = get_mesh() is None and \
+                # flat path runs unsharded-per-picture: eligible when no
+                # mesh is set OR the picture is pinned to a mesh device
+                # (decode() installs the pin whenever a mesh is active)
+                use_flat = (get_mesh() is None or
+                            get_pin_device() is not None) and \
                     flat_recon.eligible(pd, restr)
         pd.init(segment, qp, True,
                 light=native_pic_decode or use_flat)

@@ -438,7 +438,10 @@ def deblock_picture_jax(filt):
     # threading.  Bit-exact: the scan dependency runs along the
     # unsharded axis.  (tests/test_sharding.py pins sharded==unsharded.)
     from .. import engine
-    mesh = engine.get_mesh()
+    # a per-picture device pin (GOP-across-devices decode pipeline)
+    # overrides row sharding: the picture is the shard, so its deblock
+    # runs whole on the pinned chip
+    mesh = engine.get_mesh() if engine.get_pin_device() is None else None
 
     def shard_rows(x):
         if mesh is None or x.shape[0] % mesh.size != 0:

@@ -364,6 +364,20 @@ def pad_pow2(n):
 # concatenated on-device and downloaded once.
 # ---------------------------------------------------------------------------
 
+# Host<->device / device<->device traffic + kernel-launch accounting (the
+# dispatch-count / bytes-moved breakdown for the mesh decode evidence).
+STATS = {"uploads": 0, "upload_bytes": 0, "downloads": 0,
+         "download_bytes": 0, "d2d": 0, "d2d_bytes": 0, "dispatches": 0}
+
+
+def stats_reset():
+    for key in STATS:
+        STATS[key] = 0
+
+
+def stats_snapshot():
+    return dict(STATS)
+
 @functools.lru_cache(maxsize=None)
 def _slicer(size, shape, dtype_name):
     import jax.lax as lax
@@ -400,6 +414,8 @@ class DevBatch:
             if pad:
                 flat = np.pad(flat, (0, pad))
             self._dev[key] = jnp.asarray(flat)
+            STATS["uploads"] += 1
+            STATS["upload_bytes"] += flat.nbytes
         self._host = {"int16": [], "int32": []}
 
     def get(self, handle):
@@ -425,4 +441,7 @@ def gather_flat(outs):
     if not outs:
         return np.zeros((0,)), offs
     flat = jnp.concatenate([o.reshape(-1) for o in outs])
-    return np.asarray(flat), offs
+    host = np.asarray(flat)
+    STATS["downloads"] += 1
+    STATS["download_bytes"] += host.nbytes
+    return host, offs

@@ -70,9 +70,10 @@ class FrameStore:
     in place on device; MC kernels gather windows straight from the
     superstack (reshaped (S*2,...) for chroma)."""
 
-    def __init__(self, luma_shape, chroma_shape, n0=8):
+    def __init__(self, luma_shape, chroma_shape, n0=8, device=None):
         self.luma_shape = luma_shape
         self.chroma_shape = chroma_shape  # None for monochrome
+        self.device = device  # mesh pin device (None = default device)
         self.lock = threading.Lock()
         self.n = 0
         self.free = []
@@ -83,12 +84,14 @@ class FrameStore:
     def _grow(self, new_n):
         import jax.numpy as jnp
         old_n = self.n
-        luma = jnp.zeros((new_n,) + self.luma_shape, jnp.int16)
+        kw = {"device": self.device} if self.device is not None else {}
+        luma = jnp.zeros((new_n,) + self.luma_shape, jnp.int16, **kw)
         if old_n:
             luma = luma.at[:old_n].set(self.luma)
         self.luma = luma
         if self.chroma_shape is not None:
-            ch = jnp.zeros((new_n, 2) + self.chroma_shape, jnp.int16)
+            ch = jnp.zeros((new_n, 2) + self.chroma_shape, jnp.int16,
+                           **kw)
             if old_n:
                 ch = ch.at[:old_n].set(self.chroma)
             self.chroma = ch
@@ -151,11 +154,11 @@ _STORES = {}
 _STORES_LOCK = threading.Lock()
 
 
-def _store_key(rec_pic):
+def _store_key(rec_pic, dev=None):
     ls = _padded_shape(rec_pic, 0)
     cs = _padded_shape(rec_pic, 1) \
         if rec_pic.chroma_format != k.ChromaFormat.MONOCHROME else None
-    return (ls, cs)
+    return (ls, cs, dev)
 
 
 def _padded_shape(rec_pic, comp):
@@ -163,58 +166,93 @@ def _padded_shape(rec_pic, comp):
     return (h + 64, w + 64)
 
 
-def get_store(rec_pic):
-    key = _store_key(rec_pic)
+def get_store(rec_pic, dev=None):
+    key = _store_key(rec_pic, dev)
     with _STORES_LOCK:
         st = _STORES.get(key)
         if st is None:
-            st = FrameStore(key[0], key[1])
+            st = FrameStore(key[0], key[1], device=dev)
             _STORES[key] = st
         return st
 
 
+def _slot_map(rec_pic):
+    slots = getattr(rec_pic, "_dev_slots", None)
+    if slots is None:
+        slots = {}
+        rec_pic._dev_slots = slots
+    return slots
+
+
 def release_slot(rec_pic):
-    """Free the picture's store slot (called when the picture buffer is
-    recycled)."""
-    ent = getattr(rec_pic, "_dev_slot", None)
-    if ent is not None:
-        store, slot = ent
-        fin = getattr(rec_pic, "_dev_slot_fin", None)
-        if fin is not None:
-            fin.detach()
-            rec_pic._dev_slot_fin = None
-        store.release(slot)
-        rec_pic._dev_slot = None
+    """Free the picture's store slots on every device (called when the
+    picture buffer is recycled)."""
+    slots = getattr(rec_pic, "_dev_slots", None)
+    if slots:
+        for store, slot, fin in slots.values():
+            if fin is not None:
+                fin.detach()
+            store.release(slot)
+        slots.clear()
 
 
 def frame_store_put(rec_pic, dev_planes):
     """Register a picture's final (padded) device planes in the frame
-    store; called by the deblock stage / flat path tail.  A weakref
-    finalizer frees the slot when the picture object dies (sessions
-    that end without recycling their buffers must not leak DPB slots)."""
+    store of the current pin device (the GOP-across-devices decode
+    pipeline keeps each picture's DPB entry on the chip that decoded
+    it).  A weakref finalizer frees the slot when the picture object
+    dies (sessions that end without recycling their buffers must not
+    leak DPB slots)."""
     import weakref
+    from ..engine import get_pin_device
     release_slot(rec_pic)
-    store = get_store(rec_pic)
+    dev = get_pin_device()
+    store = get_store(rec_pic, dev)
     slot = store.put(dev_planes)
-    rec_pic._dev_slot = (store, slot)
-    rec_pic._dev_slot_fin = weakref.finalize(rec_pic, store.release, slot)
+    fin = weakref.finalize(rec_pic, store.release, slot)
+    _slot_map(rec_pic)[dev] = (store, slot, fin)
     return slot
 
 
 def ensure_slot(rec_pic):
-    """Slot for a reference picture; uploads the host padded planes if
-    the picture was not produced on device (fallback pictures, alt-rec
-    rescales)."""
-    ent = getattr(rec_pic, "_dev_slot", None)
+    """Slot for a reference picture on the CURRENT pin device.  If the
+    picture was decoded on another mesh device its padded planes move
+    device-to-device ONCE (the ICI reference-plane exchange of
+    SURVEY.md §2.5; subsequent pictures on this device reuse the slot);
+    pictures never produced on device (fallback paths, alt-rec
+    rescales) upload their host padded planes."""
+    import weakref
+    import jax
+    import jax.numpy as jnp
+    from ..engine import get_pin_device
+    dev = get_pin_device()
+    slots = _slot_map(rec_pic)
+    ent = slots.get(dev)
     if ent is not None:
         return ent[1]
-    import jax.numpy as jnp
-    planes = {}
     ncomp = 1 if rec_pic.chroma_format == k.ChromaFormat.MONOCHROME else 3
-    for comp in range(ncomp):
-        planes[comp] = jnp.asarray(np.pad(
-            rec_pic.padded_plane(comp).astype(np.int16), ((0, 64), (0, 64))))
-    return frame_store_put(rec_pic, planes)
+    src = next(iter(slots.values()), None)
+    planes = {}
+    if src is not None and dev is not None:
+        src_store, src_slot, _ = src
+        for comp in range(ncomp):
+            pl = jax.device_put(src_store.plane(src_slot, comp), dev)
+            dsp.STATS["d2d"] += 1
+            dsp.STATS["d2d_bytes"] += pl.size * 2
+            planes[comp] = pl
+    else:
+        for comp in range(ncomp):
+            host = np.pad(rec_pic.padded_plane(comp).astype(np.int16),
+                          ((0, 64), (0, 64)))
+            planes[comp] = jnp.asarray(host) if dev is None else \
+                jax.device_put(host, dev)
+            dsp.STATS["uploads"] += 1
+            dsp.STATS["upload_bytes"] += host.nbytes
+    store = get_store(rec_pic, dev)
+    slot = store.put(planes)
+    fin = weakref.finalize(rec_pic, store.release, slot)
+    slots[dev] = (store, slot, fin)
+    return slot
 
 
 def device_pad_planes(rec, planes_dev):
@@ -549,6 +587,7 @@ class FlatReconstructor:
                 f16, c_off = batch.flat(hc_)
                 f32, s_off = batch.flat(hs_)
                 _, p_off = batch.flat(hp_)
+                dsp.STATS["dispatches"] += 1
                 if is_chroma:
                     resi_c = fn(resi_c, f16, c_off, f32, s_off, p_off)
                 else:
@@ -563,7 +602,8 @@ class FlatReconstructor:
                 pred_c = jnp.zeros((4, Hc, Wc), jnp.int16)
                 mask_c = jnp.zeros((2, Hc, Wc), jnp.int16)
             if have_inter:
-                store = get_store(self.rec)
+                from ..engine import get_pin_device
+                store = get_store(self.rec, get_pin_device())
                 # the lock is held across the dispatches so a concurrent
                 # donated store update (another pipeline worker) cannot
                 # invalidate the superstack reference mid-launch
@@ -579,6 +619,7 @@ class FlatReconstructor:
                             H if luma else Hc, W if luma else Wc,
                             1 if luma else 2)
                         f32, p_off = batch.flat(hp_)
+                        dsp.STATS["dispatches"] += 1
                         if luma:
                             pred_l, mask_l = fn(pred_l, mask_l,
                                                 luma_stack, f32, p_off)

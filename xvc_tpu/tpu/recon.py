@@ -59,8 +59,10 @@ class JaxReconstructor:
         with span("recon.collect"):
             self._clear_all_marks()
             self._for_each_leaf(self._collect_leaf)
-        from ..engine import get_mesh
-        mesh = get_mesh()
+        from ..engine import get_mesh, get_pin_device
+        # a per-picture device pin (GOP-across-devices decode pipeline)
+        # overrides block-level mesh sharding: the picture IS the shard
+        mesh = get_mesh() if get_pin_device() is None else None
         if mesh is not None:
             with span("recon.dispatch"):
                 itx_launched = self._launch_itx_sharded(mesh)
@@ -181,12 +183,14 @@ class JaxReconstructor:
         bucketed MC windows never clamp."""
         pkey = (id(ref_pic), comp)
         if pkey not in self._planes:
+            from ..engine import get_pin_device
             entry = None
-            slot_ent = getattr(ref_pic, "_dev_slot", None)
+            slots = getattr(ref_pic, "_dev_slots", None)
+            slot_ent = slots.get(get_pin_device()) if slots else None
             if slot_ent is not None:
-                store, slot = slot_ent
+                store, slot, _ = slot_ent
                 entry = store.plane(slot, comp)
-            if entry is None:
+            if entry is None and get_pin_device() is None:
                 dev = getattr(ref_pic, "_dev_planes", None)
                 entry = dev.get(comp) if dev else None
             if entry is None:
