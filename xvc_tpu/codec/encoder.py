@@ -141,6 +141,7 @@ class Encoder:
             # analog of -restricted-mode for single flags; written to
             # and obeyed from the segment header like any restriction)
             setattr(restr, name, True)
+        self.multihost_gop = bool(settings.multihost_gop)
 
     # ---- encoding ----
     def encode(self, pic_bytes, user_data=0):
@@ -380,6 +381,17 @@ class Encoder:
                                        1 if pic_enc.buffer_flag else 0,
                                        self.settings, device=device)
             self._encode_jobs.append((pic_enc, deps, job))
+        elif getattr(self, "multihost_gop", False):
+            # cross-host GOP pipelining: pictures split over processes
+            # by DOC ownership; the owner's NAL + recon planes broadcast
+            # over the global mesh (xvc_tpu/parallel/multihost.py)
+            import jax
+            from ..parallel import multihost
+            owner = self.doc % jax.process_count()
+            nal_bytes = multihost.encode_or_receive(self, pic_enc, sh,
+                                                    owner)
+            pic_enc.output_status = "finished"
+            self._on_picture_encoded(pic_enc, deps, nal_bytes)
         else:
             nal_bytes = pic_enc.encode(sh, self.segment_qp,
                                        1 if pic_enc.buffer_flag else 0,

@@ -86,6 +86,10 @@ class EncoderSettings:
     # free-form signaled restriction flag names, applied on top of
     # restricted_mode (e.g. ("disable_inter_tmvp_mvp",)); None = none
     explicit_restrictions: tuple = None
+    # cross-host GOP pipelining: split pictures over jax processes by
+    # DOC ownership (requires explicit_restrictions to include
+    # multihost.GOP_PIPELINE_PROFILE; see xvc_tpu/parallel/multihost.py)
+    multihost_gop: int = 0
 
     def initialize_speed(self, speed_mode):
         if speed_mode == SpeedMode.PLACEBO:

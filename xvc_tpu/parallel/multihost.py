@@ -74,3 +74,113 @@ def global_mesh(axis="blk"):
 def is_multiprocess():
     import jax
     return jax.process_count() > 1
+
+
+# ---------------------------------------------------------------------------
+# Cross-host GOP pipelining (encode)
+#
+# The reference's peak deployment is one host's picture-per-thread pool
+# (ref: src/xvc_enc_lib/thread_encoder.cc:99-158).  The multi-host analog
+# splits a sub-GOP's pictures over PROCESSES by DOC ownership: each
+# process runs the full (deterministic) session logic but encodes only
+# the pictures it owns; after a picture finishes, its NAL bytes and its
+# final reconstruction planes are broadcast to every process over the
+# global mesh (an XLA psum across DCN), so later pictures on other hosts
+# predict from them exactly as on one host.  Cross-picture state beyond
+# the recon planes (TMVP motion fields) stays host-local, so the mode
+# requires the signaled tmvp restrictions (a planes-only-cross-host
+# profile): EncoderSettings.explicit_restrictions = GOP_PIPELINE_PROFILE.
+# Within that profile the bitstream is byte-identical to a single-host
+# encode (tests/test_multihost.py).
+# ---------------------------------------------------------------------------
+
+GOP_PIPELINE_PROFILE = ("disable_inter_tmvp_mvp",
+                        "disable_inter_tmvp_merge",
+                        "disable_inter_tmvp_ref_list_derivation")
+
+_BCAST_FNS = {}
+
+
+def _bcast(arr, owner):
+    """Return OWNER's `arr` on every process (all processes call this
+    with the same shape/dtype; non-owners' data is ignored).  Lowered as
+    a psum over the global mesh: the owner's first device contributes
+    the data, every other device contributes zeros."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = global_mesh()
+    devlist = list(mesh.devices.flat)
+    ndev = len(devlist)
+    me = jax.process_index()
+    owner_first = next(i for i, d in enumerate(devlist)
+                       if d.process_index == owner)
+    arr = np.ascontiguousarray(arr, np.int32)
+    sh = NamedSharding(mesh, P("blk"))
+
+    def cb(idx):
+        i = idx[0].start or 0
+        if i == owner_first and me == owner:
+            return arr[None]
+        return np.zeros((1,) + arr.shape, np.int32)
+
+    garr = jax.make_array_from_callback((ndev,) + arr.shape, sh, cb)
+    key = (mesh, arr.shape)
+    fn = _BCAST_FNS.get(key)
+    if fn is None:
+        fn = jax.jit(lambda x: x.sum(0),
+                     out_shardings=NamedSharding(mesh, P()))
+        _BCAST_FNS[key] = fn
+    return np.asarray(jax.device_get(fn(garr)))
+
+
+def _pad_pow2(n):
+    p = 64
+    while p < n:
+        p <<= 1
+    return p
+
+
+def exchange_picture(pic_enc, nal_bytes, owner):
+    """Broadcast one finished picture from its owner process: NAL bytes
+    plus the final (deblocked) reconstruction planes.  Non-owners
+    install the recon into their picture buffer (the DPB write a local
+    encode would have produced) and return the received NAL bytes."""
+    import jax
+    import numpy as np
+    me = jax.process_index()
+    hdr = np.zeros(1, np.int32)
+    if me == owner:
+        hdr[0] = len(nal_bytes)
+    n = int(_bcast(hdr, owner)[0])
+    buf = np.zeros(_pad_pow2(n), np.int32)
+    if me == owner:
+        buf[:n] = np.frombuffer(nal_bytes, np.uint8)
+    buf = _bcast(buf, owner)
+    if me != owner:
+        nal_bytes = bytes(buf[:n].astype(np.uint8))
+    rec = pic_enc.rec_pic
+    from .. import constants as k
+    ncomp = 1 if rec.chroma_format == k.ChromaFormat.MONOCHROME else 3
+    for comp in range(ncomp):
+        pl = pic_enc.rec_pic.plane_view(comp)
+        send = pl if me == owner else np.zeros(pl.shape, pl.dtype)
+        got = _bcast(send, owner)
+        if me != owner:
+            pl[:] = got.astype(pl.dtype)
+    if me != owner:
+        rec.pad_border()
+    return nal_bytes
+
+
+def encode_or_receive(session, pic_enc, segment_header, owner):
+    """One picture of the cross-host GOP pipeline: the owner process
+    encodes it, everyone else receives it (Encoder._encode_one_picture
+    calls this when session.multihost_gop is set)."""
+    import jax
+    nal_bytes = None
+    if jax.process_index() == owner:
+        nal_bytes = pic_enc.encode(
+            segment_header, session.segment_qp,
+            1 if pic_enc.buffer_flag else 0, session.settings)
+    return exchange_picture(pic_enc, nal_bytes, owner)
