@@ -1,0 +1,92 @@
+"""Bottom-up batched split RDO (tpu/wavefront_rdo.py): the device
+lookahead maps + vectorized split DP must (a) produce a conforming,
+decodable bitstream, (b) track the full top-down search's RD closely,
+and (c) actually prune the quad recursion (decisions are forced).
+Replaces the role of ref: src/xvc_enc_lib/cu_encoder.cc:123-273 at
+DP-decided nodes."""
+import numpy as np
+import pytest
+
+from xvc_tpu.codec.encoder import encode_stream
+from xvc_tpu.codec.encoder_settings import EncoderSettings
+from xvc_tpu.codec.decoder import decode_stream
+
+def synthetic_yuv420(w, h, f, seed=0):
+    rng = np.random.RandomState(seed)
+    out = []
+    for i in range(f):
+        y = np.zeros((h, w), np.uint8)
+        y[:, :w // 2] = 100 + i * 3          # flat half
+        y[:, w // 2:] = rng.randint(0, 256, (h, w // 2))  # detailed half
+        u = np.full((h // 2, w // 2), 110 + i, np.uint8)
+        v = np.full((h // 2, w // 2), 130 - i, np.uint8)
+        out += [y.tobytes(), u.tobytes(), v.tobytes()]
+    return b"".join(out)
+
+
+def _encode(yuv, w, h, f, split_dp):
+    s = EncoderSettings()
+    s.initialize_speed(2)
+    s.tpu_split_dp = split_dp
+    nals = encode_stream(yuv, w, h, f, qp=32, settings=s,
+                         sub_gop_length=1, num_ref_pics=0,
+                         checksum_mode=1)
+    from xvc_tpu.nal import write_nal_units
+    return write_nal_units(nals)
+
+
+def _psnr(a, b):
+    d = a.astype(np.int64) - b.astype(np.int64)
+    mse = (d * d).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 * 255.0 / mse)
+
+
+@pytest.mark.slow
+def test_split_dp_conforming_and_rd_close():
+    w, h, f = 64, 64, 2
+    yuv = synthetic_yuv420(w, h, f, seed=9)
+    full = _encode(yuv, w, h, f, 0)
+    dp = _encode(yuv, w, h, f, 1)
+
+    pics = decode_stream(dp)
+    assert len(pics) == f and all(p.conforming for p in pics)
+
+    # RD proximity: the DP stream may differ, but neither bitrate nor
+    # quality may collapse vs the full search
+    assert len(dp) <= len(full) * 1.15, (len(dp), len(full))
+    src = np.frombuffer(yuv, np.uint8).reshape(f, -1)
+    rec = np.stack([np.frombuffer(p.bytes, np.uint8) for p in pics])
+    ref_pics = decode_stream(full)
+    ref = np.stack([np.frombuffer(p.bytes, np.uint8) for p in ref_pics])
+    psnr_dp = _psnr(src, rec)
+    psnr_full = _psnr(src, ref)
+    assert psnr_dp >= psnr_full - 0.5, (psnr_dp, psnr_full)
+
+
+def test_split_dp_forces_decisions():
+    """The DP must actually decide something on structured content:
+    flat regions force leaves, detailed regions force splits."""
+    from xvc_tpu.tpu.wavefront_rdo import (split_dp_from_lookahead,
+                                           FORCE_LEAF, FORCE_SPLIT,
+                                           decision_for, UNDECIDED)
+    from xvc_tpu.tpu.lookahead import frame_intra_lookahead
+    from xvc_tpu.restrictions import Restrictions
+    rng = np.random.RandomState(3)
+    frame = np.zeros((64, 128), np.int32)
+    frame[:, :64] = 128                      # flat half -> big leaves
+    frame[:, 64:] = rng.randint(0, 256, (64, 64))  # noise -> splits
+    maps = frame_intra_lookahead(frame, 8, Restrictions())
+    force = split_dp_from_lookahead(maps, lambda_sqrt=8.0)
+    assert set(force) == {8, 16, 32}
+    # flat side: 32x32 nodes decided as leaves
+    assert decision_for(force, 0, 0, 32, 32) == FORCE_LEAF
+    assert decision_for(force, 32, 32, 32, 32) == FORCE_LEAF
+    # noise side: strong split pressure somewhere
+    noisy = [decision_for(force, x, y, 32, 32)
+             for x in (64, 96) for y in (0, 32)]
+    assert FORCE_SPLIT in noisy, noisy
+    # non-square / unaligned / unmapped queries stay undecided
+    assert decision_for(force, 0, 0, 32, 16) == UNDECIDED
+    assert decision_for(force, 8, 0, 16, 16) == UNDECIDED
+    assert decision_for(force, 0, 0, 64, 64) == UNDECIDED
+    assert decision_for(None, 0, 0, 32, 32) == UNDECIDED

@@ -64,6 +64,10 @@ class CuEncoder(TransformEncoder):
         self.inter_search = None  # set externally for inter pictures
         self.last_ctu_frac_bits = 0
         self._aqp_flat = None
+        # {n: force map} quad-split decisions from the device DP
+        # (tpu/wavefront_rdo.py), set by PictureEncoder when
+        # settings.tpu_split_dp is on; None = full search everywhere
+        self.split_dp = None
 
     # expose intra prediction for intra search
     def predict_intra_mode(self, cu, comp, mode, rec_pic):
@@ -125,6 +129,22 @@ class CuEncoder(TransformEncoder):
         do_full = cu.is_fully_within_picture() and \
             cu.width <= max_tr_size and cu.height <= max_tr_size
         do_split_any = do_quad_split or do_hor_split or do_ver_split
+
+        if self.split_dp is not None and cu.binary_depth == 0 and \
+                cu.is_fully_within_picture():
+            # bottom-up batched RDO: the device DP settles decisive
+            # quad-split decisions, replacing the top-down trial of
+            # ref: cu_encoder.cc:123-273 at those nodes; ambiguous nodes
+            # keep the full search
+            from ..tpu import wavefront_rdo as wf
+            dec = wf.decision_for(self.split_dp, cu.pos_x, cu.pos_y,
+                                  cu.width, cu.height)
+            if dec == wf.FORCE_SPLIT and do_quad_split:
+                do_full = False
+                do_hor_split = do_ver_split = False
+            elif dec == wf.FORCE_LEAF:
+                do_quad_split = False
+                do_split_any = do_hor_split or do_ver_split
 
         if not do_split_any:
             return self.compress_no_split(best_cu_holder, rdo_depth,

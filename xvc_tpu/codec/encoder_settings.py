@@ -60,6 +60,10 @@ class EncoderSettings:
     # conforming; enable via
     #   -explicit-encoder-settings "tpu_intra_lookahead 1"
     tpu_intra_lookahead: int = 0
+    # batched bottom-up split RDO: force quad-split decisions from the
+    # device lookahead maps via a vectorized DP (tpu/wavefront_rdo.py);
+    # implies tpu_intra_lookahead for intra pictures
+    tpu_split_dp: int = 0
 
     # defaults used in all speed modes
     fast_merge_eval: int = 1

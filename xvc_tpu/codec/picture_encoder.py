@@ -118,11 +118,21 @@ class PictureEncoder:
             writer = SyntaxWriter(base_qp, pd.get_prediction_type(),
                                   bit_writer, segment.restrictions)
             cu_encoder = CuEncoder(self.orig_pic, self.rec_pic, pd, settings)
-            if settings.tpu_intra_lookahead:
+            if settings.tpu_intra_lookahead or (settings.tpu_split_dp and
+                                                pd.is_intra_pic()):
                 from ..tpu.lookahead import frame_intra_lookahead
                 cu_encoder.intra_search.lookahead = frame_intra_lookahead(
                     self.orig_pic.plane_view(0), pd.bitdepth,
                     segment.restrictions)
+            if settings.tpu_split_dp and pd.is_intra_pic() and \
+                    cu_encoder.intra_search.lookahead:
+                # bottom-up batched split RDO (SURVEY.md §7 stage 4):
+                # vectorized DP over the device leaf-cost maps settles
+                # decisive quad-split decisions before the CTU loop
+                from ..tpu.wavefront_rdo import split_dp_from_lookahead
+                cu_encoder.split_dp = split_dp_from_lookahead(
+                    cu_encoder.intra_search.lookahead,
+                    base_qp.lambda_sqrt)
             if not pd.is_intra_pic():
                 from .inter_me import InterSearch
                 cu_encoder.inter_search = InterSearch(cu_encoder)

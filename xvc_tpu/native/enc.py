@@ -116,7 +116,7 @@ def usable_for(pic_data, settings):
     paths stay exercised."""
     if not available():
         return False
-    if settings.tpu_intra_lookahead:
+    if settings.tpu_intra_lookahead or settings.tpu_split_dp:
         return False
     from ..engine import use_jax_intra_prepass, use_jax_me
     if use_jax_intra_prepass() or use_jax_me():
