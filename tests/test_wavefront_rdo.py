@@ -90,3 +90,30 @@ def test_split_dp_forces_decisions():
     assert decision_for(force, 8, 0, 16, 16) == UNDECIDED
     assert decision_for(force, 0, 0, 64, 64) == UNDECIDED
     assert decision_for(None, 0, 0, 32, 32) == UNDECIDED
+
+
+def test_split_dp_near_ties_stay_undecided():
+    """Forcing requires a decisive (>10%) win: when leaf and quad costs
+    are within the margin of each other, the node must be UNDECIDED so
+    the encoder's full search decides it."""
+    from xvc_tpu.tpu.wavefront_rdo import (split_dp_from_lookahead,
+                                           UNDECIDED, FORCE_LEAF,
+                                           FORCE_SPLIT, MODE_BITS,
+                                           SPLIT_BITS)
+    lam = 0.0  # zero lambda: costs are exactly the map minima
+    base = 10000
+    # one 16x16 node over four 8x8 children; leaf == sum(children)
+    maps = {8: np.full((2, 2, 1), base // 4, np.int32),
+            16: np.full((1, 1, 1), base, np.int32)}
+    force = split_dp_from_lookahead(maps, lam)
+    assert force[16][0, 0] == UNDECIDED
+    # 5% better split: still inside the margin -> undecided
+    maps[8][:] = int(base * 0.95) // 4
+    assert split_dp_from_lookahead(maps, lam)[16][0, 0] == UNDECIDED
+    # 20% better split: decisive -> forced split
+    maps[8][:] = int(base * 0.80) // 4
+    assert split_dp_from_lookahead(maps, lam)[16][0, 0] == FORCE_SPLIT
+    # 20% better leaf: decisive -> forced leaf
+    maps[8][:] = int(base * 1.25) // 4
+    maps[16][:] = base
+    assert split_dp_from_lookahead(maps, lam)[16][0, 0] == FORCE_LEAF

@@ -7,7 +7,7 @@ the batched JAX path mirrors these kernels for TPU execution.
 import numpy as np
 
 from .. import constants as k
-from ..ops import inter_pred as mc
+from . import inter_mc as mc
 from ..ops import quant as q
 from ..ops import transform as tx
 from .cu_reader import CuReader

@@ -140,8 +140,23 @@ class Encoder:
             # free-form signaled restriction flags (the encoder-side
             # analog of -restricted-mode for single flags; written to
             # and obeyed from the segment header like any restriction)
+            if not hasattr(restr, name):
+                raise ValueError("unknown restriction flag: %r" % (name,))
             setattr(restr, name, True)
         self.multihost_gop = bool(settings.multihost_gop)
+        if self.multihost_gop:
+            # Cross-host GOP pipelining broadcasts only recon planes;
+            # TMVP motion fields stay host-local, so the signaled
+            # planes-only profile is mandatory (parallel/multihost.py).
+            from ..parallel.multihost import GOP_PIPELINE_PROFILE
+            missing = [n for n in GOP_PIPELINE_PROFILE
+                       if not getattr(restr, n)]
+            if missing:
+                raise ValueError(
+                    "multihost_gop requires the GOP pipeline restriction "
+                    "profile; missing: %s (set settings."
+                    "explicit_restrictions = multihost.GOP_PIPELINE_PROFILE)"
+                    % ", ".join(missing))
 
     # ---- encoding ----
     def encode(self, pic_bytes, user_data=0):

@@ -11,6 +11,24 @@ from .. import constants as k
 from .. import native as _native
 from . import inter_mv as mv_mod
 
+class InterPredictor:
+    """Inter prediction facade: MV derivation + motion compensation
+    (ref: src/xvc_common_lib/inter_prediction.{h,cc}).  MV derivation
+    lives in codec.inter_mv; interpolation below in this module."""
+
+    def __init__(self, pic_data, rec_pic, bitdepth, restrictions):
+        self.pic = pic_data
+        self.rec_pic = rec_pic
+        self.bitdepth = bitdepth
+        self.restr = restrictions
+
+    def calculate_mv(self, cu):
+        mv_mod.calculate_mv(self, cu)
+
+    def motion_compensation(self, cu, comp):
+        return motion_compensation(self, cu, comp)
+
+
 NUM_TAPS_LUMA = 8
 NUM_TAPS_CHROMA = 4
 INTERNAL_PRECISION = 14

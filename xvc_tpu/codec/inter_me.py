@@ -9,7 +9,7 @@ import math
 import numpy as np
 
 from .. import constants as k
-from ..ops import inter_pred
+from . import inter_mc as inter_pred
 from ..ops import metrics as met
 from ..syntax.writer import SyntaxWriter
 from . import inter_mc as mc

@@ -170,6 +170,17 @@ def exchange_picture(pic_enc, nal_bytes, owner):
             pl[:] = got.astype(pl.dtype)
     if me != owner:
         rec.pad_border()
+        # The recycled buffer may carry the PREVIOUS occupant's device
+        # caches (deblock tail attaches _dev_planes / flat-recon slots
+        # under XVC_DSP=jax); a non-owner never deblocks a received
+        # picture, so invalidate here exactly as the decoder does when
+        # a buffer is recycled (codec/picture_decoder.py:163-168).
+        rec._dev_planes = None
+        rec._dev_pre_deblock = None
+        if getattr(rec, "_dev_slots", None):
+            from ..tpu.flat_recon import release_slot
+            release_slot(rec)
+        rec.invalidate_shadow16()
     return nal_bytes
 
 

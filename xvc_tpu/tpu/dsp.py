@@ -66,8 +66,33 @@ def _ensure_compile_cache():
                             break
             except OSError:
                 pass
+            # /proc/cpuinfo alone is not enough: a cache produced by a
+            # relay/compile machine with the same flags line but a
+            # different XLA build (or a /tmp snapshot carried between
+            # machines) could still be loaded and SIGILL.  Fold in the
+            # machine identity and the exact XLA:CPU client build.
+            machid = ""
+            for p in ("/etc/machine-id", "/proc/sys/kernel/random/boot_id"):
+                try:
+                    with open(p) as f:
+                        machid = f.read().strip()
+                    break
+                except OSError:
+                    continue
+            xlaver = ""
+            try:
+                import jaxlib.version
+                xlaver = jaxlib.version.__version__
+            except Exception:
+                pass
+            try:
+                xlaver += jax.local_devices(backend="cpu")[0] \
+                    .client.platform_version
+            except Exception:
+                pass
             hid = hashlib.md5(
-                (platform.machine() + feats).encode()).hexdigest()[:10]
+                (platform.machine() + feats + machid + xlaver)
+                .encode()).hexdigest()[:10]
             suffix = "cpu_" + hid
         jax.config.update("jax_compilation_cache_dir",
                           "%s_%s" % (cache_dir, suffix))

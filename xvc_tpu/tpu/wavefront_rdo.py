@@ -31,8 +31,12 @@ force leaf  where leaf * MARGIN_NUM < split * MARGIN_DEN.
 """
 import numpy as np
 
-# decisive-margin ratio (10%): only force when one side wins by this
-MARGIN_NUM, MARGIN_DEN = 10, 11
+# decisive-margin ratio (10%): only force when one side wins by this.
+# Forcing requires a decisive win: e.g. force split only when
+# quad * MARGIN_NUM < leaf * MARGIN_DEN with NUM > DEN, i.e. the quad
+# cost is at least NUM/DEN-1 = 10% below the leaf cost.  Near-ties
+# satisfy neither inequality and stay UNDECIDED (full search).
+MARGIN_NUM, MARGIN_DEN = 11, 10
 # signaling-bit estimates at sqrt-lambda (coarse; absorbed by margin)
 MODE_BITS = 5.0
 SPLIT_BITS = 2.0
