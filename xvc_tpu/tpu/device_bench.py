@@ -21,6 +21,7 @@ import time
 import numpy as np
 
 V5E_BF16_PEAK_FLOPS = 197e12
+V5E_INT8_PEAK_OPS = 394e12
 
 
 def _roundtrip_seconds(reps=5):
@@ -77,8 +78,13 @@ def mc_device_bench(batch=4096, iters=64, bitdepth=8, block=16):
         "device_us_per_call": round(per_call * 1e6, 1),
         "mpix_s": round(pix / per_call / 1e6, 1),
         "gmac_s": round(macs / per_call / 1e9, 1),
+        # Upper-bound denominators: the kernels run exact int32 (no MXU
+        # fast path), so these are honest "fractions of the chip's
+        # published matmul peaks", not achievable targets.
         "mfu_vs_bf16_peak": round(2 * macs / per_call /
                                   V5E_BF16_PEAK_FLOPS, 5),
+        "mfu_vs_int8_peak": round(2 * macs / per_call /
+                                  V5E_INT8_PEAK_OPS, 5),
         "roundtrip_s": round(rt, 3),
     }
 
@@ -119,8 +125,13 @@ def itx_device_bench(batch=4096, iters=64, bitdepth=8, block=16):
         "device_us_per_call": round(per_call * 1e6, 1),
         "mpix_s": round(pix / per_call / 1e6, 1),
         "gmac_s": round(macs / per_call / 1e9, 1),
+        # Upper-bound denominators: the kernels run exact int32 (no MXU
+        # fast path), so these are honest "fractions of the chip's
+        # published matmul peaks", not achievable targets.
         "mfu_vs_bf16_peak": round(2 * macs / per_call /
                                   V5E_BF16_PEAK_FLOPS, 5),
+        "mfu_vs_int8_peak": round(2 * macs / per_call /
+                                  V5E_INT8_PEAK_OPS, 5),
         "roundtrip_s": round(rt, 3),
     }
 
