@@ -493,6 +493,14 @@ def sec_device_kernels(ctx):
         "except Exception as e:\n"
         "    out['kernel_pallas_error'] = repr(e)[:120]\n"
         "try:\n"
+        "    from xvc_tpu.tpu.pallas_mc import bench_device as mcb\n"
+        "    r = mcb(batch=4096, iters=64, block=16, group=16)\n"
+        "    out['kernel_mc16_pallas%s_mpixs'] = r['pallas_mpixs']\n"
+        "    out['kernel_mc16_xla%s_mpixs'] = r['xla_mpixs']\n"
+        "    out['kernel_mc16_pallas_bit_exact'] = r['bit_exact']\n"
+        "except Exception as e:\n"
+        "    out['kernel_mc_pallas_error'] = repr(e)[:120]\n"
+        "try:\n"
         "    from xvc_tpu.tpu import device_bench as db\n"
         "    out['device_compute_mc%s'] = db.mc_device_bench()\n"
         "    out['device_compute_itx%s'] = db.itx_device_bench()\n"
@@ -500,7 +508,7 @@ def sec_device_kernels(ctx):
         "    out['device_compute_error'] = repr(e)[:120]\n"
         "print('KERN=' + json.dumps(out))\n"
         % (kern_suffix, kern_suffix, kern_suffix, kern_suffix,
-           kern_suffix))
+           kern_suffix, kern_suffix, kern_suffix))
     r = subprocess.run([sys.executable, "-c", kern_code],
                        env=dict(os.environ, PYTHONPATH=PYPATH),
                        cwd=REPO, capture_output=True, text=True,
