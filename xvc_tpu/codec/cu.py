@@ -536,6 +536,16 @@ class PictureData:
         self.tmvp_ref_list = 0
         self.tmvp_ref_idx = 0
         self.restrictions = None
+        # CTU-tile-row extension state (xvc_tpu, SURVEY §2.5/§5): while
+        # coding the CTUs of one tile, tile_ctx_top_y is the tile's top
+        # luma row and get_cu_at masks every lookup above it, cutting
+        # CABAC contexts / MPM / MVP / qp prediction / intra
+        # availability at the tile boundary.  Cleared (0) outside the
+        # coding pass so deblocking and cross-picture TMVP see the full
+        # picture.
+        self.tile_rows = 1
+        self.tile_row_starts = [0]
+        self.tile_ctx_top_y = 0
 
     def init(self, segment, pic_qp: Qp, recalculate_lambda, light=False):
         """light=True skips the per-picture CU/qp object allocation: the
@@ -543,6 +553,8 @@ class PictureData:
         the derived header-level fields (tmvp, trees, force flags)."""
         r = segment.restrictions
         self.restrictions = r
+        self.tile_ctx_top_y = 0
+        self.set_tiles(getattr(segment, "tile_rows", 1))
         if (not r.disable_ext_two_cu_trees and self.is_intra_pic() and
                 self.max_num_components > 1):
             self.num_cu_trees = 2
@@ -645,9 +657,21 @@ class PictureData:
         return len(self.ctus[0])
 
     def get_cu_at(self, cu_tree, posx, posy):
+        if posy < self.tile_ctx_top_y:
+            return None  # above the current tile: unavailable
         idx = (posy // k.MIN_BLOCK_SIZE) * self.cu_stride + \
             (posx // k.MIN_BLOCK_SIZE)
         return self.cu_table[int(cu_tree)][idx]
+
+    def set_tiles(self, tile_rows):
+        """Install the CTU-tile-row split: tile r covers CTU rows
+        [starts[r], starts[r+1]).  Returns the per-tile (row0, row1)
+        list.  Clamped so every tile has at least one CTU row."""
+        r = min(max(1, tile_rows), self.ctu_num_y)
+        self.tile_rows = r
+        self.tile_row_starts = [t * self.ctu_num_y // r for t in range(r)]
+        bounds = self.tile_row_starts + [self.ctu_num_y]
+        return [(bounds[t], bounds[t + 1]) for t in range(r)]
 
     def _build_qps(self):
         recalculate_lambda, tab, off_u, off_v = self._qp_params

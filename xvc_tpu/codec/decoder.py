@@ -80,10 +80,21 @@ class Decoder:
     def decode_nal(self, nal, user_data=0):
         try:
             bit_reader = BitReader(nal)
-            nal_type = seg.parse_nal_unit_header(bit_reader,
-                                                 self.accept_xvc_bit_zero)
+            nal_type, rfe = seg.parse_nal_unit_header(
+                bit_reader, self.accept_xvc_bit_zero, with_rfe=True)
             if nal_type is None:
                 return False
+            if rfe:
+                # rfe NALs are ignored unless they belong to the
+                # xvc_tpu tile extension: an ext segment header (probed
+                # by its EXT_MINOR_BIT) or a picture of an active tile
+                # segment.  Everything else keeps the reference's
+                # drop-silently behavior (ref: decoder.cc:84-113).
+                if nal_type == k.NalUnitType.SEGMENT_HEADER:
+                    return self._decode_segment_header_nal(bit_reader,
+                                                           ext=True)
+                if self.curr_segment_header.tile_rows < 2:
+                    return False
             if nal_type == k.NalUnitType.SEGMENT_HEADER:
                 return self._decode_segment_header_nal(bit_reader)
             if self.state in (DecoderState.NO_SEGMENT_HEADER,
@@ -193,7 +204,15 @@ class Decoder:
                 self.num_pics_in_buffer >= self.sliding_window_length)
 
     # ---- internals ----
-    def _decode_segment_header_nal(self, bit_reader):
+    def _decode_segment_header_nal(self, bit_reader, ext=False):
+        if ext:
+            # probe first: a non-extension rfe segment header must be
+            # ignored with NO state change (reference drops rfe NALs)
+            state, _, _ = seg.read_segment_header(
+                BitReader(bit_reader.buf[bit_reader.get_position():]),
+                0, ext_allowed=True)
+            if state is None:
+                return False
         if len(self.nal_buffer) > self.num_tail_pics:
             while self.nal_buffer and \
                     self.num_pics_in_buffer < self.pic_buffering_num:
@@ -204,7 +223,8 @@ class Decoder:
             self.num_tail_pics = 0
         self.prev_segment_header = self.curr_segment_header
         self.soc = (self.soc + 1) & 0xFF
-        state, sh, accept = seg.read_segment_header(bit_reader, self.soc)
+        state, sh, accept = seg.read_segment_header(bit_reader, self.soc,
+                                                    ext_allowed=ext)
         self.accept_xvc_bit_zero = accept
         self.state = state
         if state != DecoderState.SEGMENT_HEADER_DECODED:

@@ -120,6 +120,7 @@ class Encoder:
         sh.leading_pictures = settings.leading_pictures
         sh.max_binary_split_depth = settings.max_binary_split_depth
         sh.source_padding = settings.source_padding != 0
+        sh.tile_rows = max(1, settings.tile_rows)
         sh.chroma_qp_offset_table = settings.chroma_qp_offset_table
         sh.chroma_qp_offset_u = settings.chroma_qp_offset_u
         sh.chroma_qp_offset_v = settings.chroma_qp_offset_v

@@ -64,6 +64,13 @@ class EncoderSettings:
     # device lookahead maps via a vectorized DP (tpu/wavefront_rdo.py);
     # implies tpu_intra_lookahead for intra pictures
     tpu_split_dp: int = 0
+    # CTU-tile-row extension (this framework only): >= 2 splits each
+    # picture into that many CTU-row tiles with independent CABAC
+    # contexts and prediction cut at tile tops, for in-picture parallel
+    # decode/encode across chips.  The stream is rfe-flagged (baseline
+    # decoders skip it).  Enable via
+    #   -explicit-encoder-settings "tile_rows 4"
+    tile_rows: int = 0
 
     # defaults used in all speed modes
     fast_merge_eval: int = 1

@@ -219,6 +219,12 @@ class PictureDecoder:
         from ..engine import use_jax_dsp, use_native_pic_decode
         from ..profiling import span
         jax_dsp = use_jax_dsp()
+        if getattr(segment, "tile_rows", 1) >= 2:
+            # CTU-tile-row extension: per-tile CABAC substreams with
+            # prediction cut at tile tops; scalar Python twin path
+            # (native/flat engines cover tile_rows==1 only).
+            return self._decode_tiles(segment, prev_segment, bit_reader,
+                                      qp, post_process)
         # int16 surfaces hold samples up to 14-bit (the encoder-side
         # maximum, ref: xvcenc.cc bitdepth args); streams whose header
         # claims 15/16-bit (unproducible, but the header field allows
@@ -308,6 +314,54 @@ class PictureDecoder:
                 success = self._postprocess_native(
                     segment, bit_reader, pad_needed) and success
             return success
+        if pad_needed:
+            self.rec_pic.pad_border()
+        if alt_needed:
+            self._generate_alternative_rec_pic(segment, prev_segment)
+        pd.ref_pic_lists.zero_out_references()
+        if post_process:
+            success = self.postprocess(segment, bit_reader) and success
+        return success
+
+    def _decode_tiles(self, segment, prev_segment, bit_reader, qp,
+                      post_process):
+        """Tile-extension picture decode: R CTU-row tiles, each parsed
+        from its own size-prefixed CABAC substream with pd.tile_ctx_top_y
+        masking neighbor/intra availability above the tile, then one
+        whole-picture deblock pass across tile edges (the halo stage of
+        the sharded mapping)."""
+        from ..bitio import BitReader
+        pd = self.pic_data
+        self.finish_post()
+        restr = segment.restrictions
+        pd.init(segment, qp, True)
+        pd.mv_resolved = False
+        pd._parse_records = None
+        tiles = pd.set_tiles(segment.tile_rows)
+        sizes = [bit_reader.read_bits(32) for _ in tiles]
+        success = True
+        from ..profiling import span
+        with span("decode.tiles"):
+            for (row0, row1), size in zip(tiles, sizes):
+                payload = bit_reader.read_bytes(size)
+                reader = SyntaxReader(qp, pd.get_prediction_type(),
+                                      BitReader(payload), restr)
+                cu_decoder = CuDecoder(self.rec_pic, pd, restr)
+                pd.tile_ctx_top_y = row0 * k.CTU_SIZE
+                for row in range(row0, row1):
+                    for cx in range(pd.ctu_num_x):
+                        cu_decoder.decode_ctu(row * pd.ctu_num_x + cx,
+                                              reader, reconstruct=True)
+                if not reader.finish():
+                    success = False
+        pd.tile_ctx_top_y = 0
+        if pd.deblock:
+            with span("decode.deblock"):
+                DeblockingFilter(pd, self.rec_pic, pd.beta_offset,
+                                 pd.tc_offset, restr).deblock_picture()
+        pad_needed = pd.tid == 0 or not pd.highest_layer
+        alt_needed = (pd.nal_type == k.NalUnitType.INTRA_ACCESS_PICTURE
+                      and prev_segment.open_gop)
         if pad_needed:
             self.rec_pic.pad_border()
         if alt_needed:

@@ -115,8 +115,6 @@ class PictureEncoder:
                     self, segment, settings, base_qp)
             bit_writer.write_bytes(payload)
         else:
-            writer = SyntaxWriter(base_qp, pd.get_prediction_type(),
-                                  bit_writer, segment.restrictions)
             cu_encoder = CuEncoder(self.orig_pic, self.rec_pic, pd, settings)
             if settings.tpu_intra_lookahead or (settings.tpu_split_dp and
                                                 pd.is_intra_pic()):
@@ -136,14 +134,42 @@ class PictureEncoder:
             if not pd.is_intra_pic():
                 from .inter_me import InterSearch
                 cu_encoder.inter_search = InterSearch(cu_encoder)
-            for rsaddr in range(pd.get_number_of_ctus()):
-                cu_encoder.encode_ctu(rsaddr, writer)
+            if getattr(segment, "tile_rows", 1) >= 2:
+                # CTU-tile-row extension: each tile row is coded with
+                # its own CABAC engine/contexts and prediction cut at
+                # the tile top (pd.tile_ctx_top_y masks neighbor
+                # lookups); substream sizes prefix the payloads so a
+                # decoder can parse tiles independently/in parallel.
+                tiles = pd.set_tiles(segment.tile_rows)
+                payloads = []
+                for row0, row1 in tiles:
+                    tw = BitWriter()
+                    twriter = SyntaxWriter(base_qp,
+                                           pd.get_prediction_type(), tw,
+                                           segment.restrictions)
+                    pd.tile_ctx_top_y = row0 * k.CTU_SIZE
+                    for row in range(row0, row1):
+                        for cx in range(pd.ctu_num_x):
+                            cu_encoder.encode_ctu(
+                                row * pd.ctu_num_x + cx, twriter)
+                    twriter.finish()
+                    payloads.append(tw.get_bytes())
+                pd.tile_ctx_top_y = 0
+                for p in payloads:
+                    bit_writer.write_bits(len(p), 32)
+                for p in payloads:
+                    bit_writer.write_bytes(p)
+            else:
+                writer = SyntaxWriter(base_qp, pd.get_prediction_type(),
+                                      bit_writer, segment.restrictions)
+                for rsaddr in range(pd.get_number_of_ctus()):
+                    cu_encoder.encode_ctu(rsaddr, writer)
+                writer.finish()
             if pd.deblock:
                 deblocker = DeblockingFilter(pd, self.rec_pic,
                                              pd.beta_offset, pd.tc_offset,
                                              segment.restrictions)
                 deblocker.deblock_picture()
-            writer.finish()
 
         if pd.tid == 0 or not pd.highest_layer:
             self.rec_pic.pad_border()
@@ -159,7 +185,10 @@ class PictureEncoder:
         """(ref: picture_encoder.cc:173-197)"""
         restr = segment.restrictions
         bit_writer.write_bits(1, 1)   # xvc_bit_one
-        bit_writer.write_bits(0, 1)   # nal_rfe
+        # tile-extension streams flag every NAL rfe so baseline
+        # decoders skip them (see segment.py EXT_MINOR_BIT)
+        bit_writer.write_bits(
+            1 if getattr(segment, "tile_rows", 1) >= 2 else 0, 1)
         bit_writer.write_bits(int(pd.nal_type), 5)
         bit_writer.write_bits(1, 1)   # nal_rfl
         bit_writer.write_bits(1 if buffer_flag else 0, 1)

@@ -118,6 +118,8 @@ def usable_for(pic_data, settings):
         return False
     if settings.tpu_intra_lookahead or settings.tpu_split_dp:
         return False
+    if getattr(pic_data, "tile_rows", 1) > 1 or settings.tile_rows >= 2:
+        return False  # tile extension: Python twin only (for now)
     from ..engine import use_jax_intra_prepass, use_jax_me
     if use_jax_intra_prepass() or use_jax_me():
         return False  # keep the device encoder paths exercised

@@ -14,6 +14,11 @@ from .restrictions import Restrictions, read_restrictions, write_restrictions
 
 _MAX_PICNUM = k.TIME_SCALE + 1
 
+# Minor-version bit marking the xvc_tpu extension dialect (tile mode).
+# Extension streams also set nal_rfe on every NAL so reference decoders
+# skip them cleanly instead of misparsing.
+EXT_MINOR_BIT = 0x8000
+
 # Normative sub-GOP mapping tables (ref: segment_header.cc:32-147)
 DOC_TO_POC = [
     [0] * 17,
@@ -258,6 +263,13 @@ class SegmentHeader:
     restrictions: Restrictions = field(default_factory=Restrictions)
     output_width: int = 0
     output_height: int = 0
+    # CTU-tile-row extension (xvc_tpu, not in the reference): >= 2
+    # splits each picture into that many CTU-row tiles with independent
+    # CABAC contexts and prediction cut at tile tops (SURVEY.md §2.5/§5
+    # in-picture scale-out).  Signaled only in rfe-flagged segment
+    # headers with EXT_MINOR_BIT set, which baseline decoders ignore
+    # wholesale (ref: decoder.cc:84-113 drops rfe NALs).
+    tile_rows: int = 1
 
     @property
     def internal_width(self):
@@ -291,20 +303,38 @@ class DecoderState:
     CHECKSUM_MISMATCH = 6
 
 
-def read_segment_header(bit_reader: BitReader, soc: int):
+def read_segment_header(bit_reader: BitReader, soc: int,
+                        ext_allowed: bool = False):
     """Parse segment header payload (after NAL unit header byte).
 
     Returns (state, SegmentHeader|None, accept_xvc_bit_zero).
+    ext_allowed=True (the NAL carried nal_rfe=1): the header is accepted
+    only if it is an xvc_tpu extension header (EXT_MINOR_BIT set in the
+    minor version); otherwise (None, None, False) is returned and the
+    caller must ignore the NAL without any state change — exactly the
+    reference's behavior for unknown rfe NALs.
     """
     sh = SegmentHeader()
     sh.codec_identifier = bit_reader.read_bits(24)
     if sh.codec_identifier != k.XVC_CODEC_IDENTIFIER:
+        if ext_allowed:
+            return None, None, False
         return DecoderState.NO_SEGMENT_HEADER, None, False
     sh.major_version = bit_reader.read_bits(16)
     if sh.major_version > k.XVC_MAJOR_VERSION:
+        if ext_allowed:
+            return None, None, False
         return DecoderState.DECODER_VERSION_TOO_LOW, None, False
     accept_xvc_bit_zero = sh.major_version == 1
     sh.minor_version = bit_reader.read_bits(16)
+    is_ext = bool(sh.minor_version & EXT_MINOR_BIT)
+    if ext_allowed and not is_ext:
+        return None, None, False
+    if is_ext and not ext_allowed:
+        # EXT_MINOR_BIT without nal_rfe: treat as a plain (large) minor
+        # version like the reference would — no extension fields follow.
+        is_ext = False
+    sh.minor_version &= ~EXT_MINOR_BIT
     supported = (sh.major_version == k.XVC_MAJOR_VERSION
                  and sh.minor_version >= k.XVC_MINOR_VERSION)
     for old_major, old_minor in k.SUPPORTED_OLD_VERSIONS:
@@ -341,6 +371,10 @@ def read_segment_header(bit_reader: BitReader, soc: int):
         sh.low_delay = bit_reader.read_bit() != 0
         sh.leading_pictures = bit_reader.read_bits(1)
         sh.source_padding = bit_reader.read_bit() != 0
+    if is_ext:
+        sh.tile_rows = bit_reader.read_bits(8)
+        if sh.tile_rows < 2:
+            return None, None, False
     sh.restrictions = read_restrictions(bit_reader, sh.major_version)
     bit_reader.skip_bits()
     sh.soc = soc
@@ -349,14 +383,16 @@ def read_segment_header(bit_reader: BitReader, soc: int):
 
 def write_segment_header(sh: SegmentHeader, framerate: float) -> bytes:
     """Serialize full segment header NAL (incl. NAL unit header byte)."""
+    is_ext = sh.tile_rows >= 2
     w = BitWriter()
     w.write_bits(1, 1)   # xvc_bit_one
-    w.write_bits(0, 1)   # nal_rfe
+    # extension streams set nal_rfe so baseline decoders skip them
+    w.write_bits(1 if is_ext else 0, 1)   # nal_rfe
     w.write_bits(int(k.NalUnitType.SEGMENT_HEADER), 5)
     w.write_bits(1, 1)   # nal_rfl
     w.write_bits(sh.codec_identifier, 24)
     w.write_bits(sh.major_version, 16)
-    w.write_bits(sh.minor_version, 16)
+    w.write_bits(sh.minor_version | (EXT_MINOR_BIT if is_ext else 0), 16)
     w.write_bits(sh.output_width, k.PIC_SIZE_BITS)
     w.write_bits(sh.output_height, k.PIC_SIZE_BITS)
     w.write_bits(int(sh.chroma_format), 4)
@@ -385,15 +421,21 @@ def write_segment_header(sh: SegmentHeader, framerate: float) -> bytes:
         w.write_bit(1 if sh.low_delay else 0)
         w.write_bits(1 if sh.leading_pictures > 0 else 0, 1)
         w.write_bit(1 if sh.source_padding else 0)
+    if is_ext:
+        w.write_bits(sh.tile_rows, 8)
     write_restrictions(w, sh.restrictions, sh.major_version)
     w.pad_zero_bits()
     return w.get_bytes()
 
 
-def parse_nal_unit_header(bit_reader: BitReader, accept_xvc_bit_zero=False):
+def parse_nal_unit_header(bit_reader: BitReader, accept_xvc_bit_zero=False,
+                          with_rfe=False):
     """Returns NalUnitType or None if the NAL should be ignored.
 
-    (ref: src/xvc_dec_lib/decoder.cc:84-113)
+    with_rfe=True returns (NalUnitType|None, rfe) and does NOT drop
+    rfe-flagged NALs — the caller decides whether it understands the
+    extension (codec/decoder.py); with_rfe=False keeps the reference
+    behavior of ignoring them (ref: src/xvc_dec_lib/decoder.cc:84-113).
     """
     header = bit_reader.read_byte()
     xvc_bit_one = (header >> 7) & 1
@@ -409,8 +451,11 @@ def parse_nal_unit_header(bit_reader: BitReader, accept_xvc_bit_zero=False):
             bit_reader.read_byte()
             header = bit_reader.read_byte()
         else:
-            return None
+            return (None, 0) if with_rfe else None
     nal_rfe = (header >> 6) & 1
+    nal_type = k.NalUnitType((header >> 1) & 31)
+    if with_rfe:
+        return nal_type, nal_rfe
     if nal_rfe == 1:
         return None
-    return k.NalUnitType((header >> 1) & 31)
+    return nal_type
