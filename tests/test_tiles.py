@@ -186,3 +186,31 @@ def test_reference_decoder_skips_tile_stream(tmp_path):
     # no crash, and no picture decoded from an all-rfe stream
     assert r.returncode != -11, "reference segfaulted on tile stream"
     assert not out.exists() or out.stat().st_size == 0
+
+
+def test_tiles_jax_mesh_decode_byte_identical(monkeypatch):
+    """One tile picture split across the 8-device mesh: per-tile CABAC
+    parse on the host, then ONE batched device reconstruction whose
+    block batch is sharded over the mesh with each CTU's jobs collected
+    under its tile's prediction cut (tpu/recon.py _for_each_leaf).
+    Output must be byte-identical to the scalar tile decode — the
+    SURVEY §2.5 config-5 contract."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from xvc_tpu import engine
+    from xvc_tpu.parallel.mesh import make_mesh
+    w, h, f = 64, 256, 2  # 4 CTU rows over 8 devices, intra + inter
+    yuv = synthetic_yuv420(w, h, f, seed=12)
+    data = _frame(_encode(yuv, w, h, f, tile_rows=4, num_ref_pics=1,
+                          sub_gop=1))
+    plain = decode_stream(data)
+    assert all(p.conforming for p in plain)
+    monkeypatch.setenv("XVC_DSP", "jax")
+    engine.set_mesh(make_mesh(jax.devices()[:8]))
+    try:
+        sharded = decode_stream(data)
+    finally:
+        engine.set_mesh(None)
+    assert all(p.conforming for p in sharded)
+    assert [p.bytes for p in sharded] == [p.bytes for p in plain]

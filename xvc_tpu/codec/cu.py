@@ -663,6 +663,15 @@ class PictureData:
             (posx // k.MIN_BLOCK_SIZE)
         return self.cu_table[int(cu_tree)][idx]
 
+    def tile_top_y_of_row(self, ctu_row):
+        """Top luma row of the tile containing this CTU row."""
+        top = 0
+        for start in self.tile_row_starts:
+            if start > ctu_row:
+                break
+            top = start
+        return top * k.CTU_SIZE
+
     def set_tiles(self, tile_rows):
         """Install the CTU-tile-row split: tile r covers CTU rows
         [starts[r], starts[r+1]).  Returns the per-tile (row0, row1)

@@ -340,21 +340,35 @@ class PictureDecoder:
         tiles = pd.set_tiles(segment.tile_rows)
         sizes = [bit_reader.read_bits(32) for _ in tiles]
         success = True
+        from ..engine import use_jax_dsp
+        jax_dsp = use_jax_dsp()
         from ..profiling import span
+        cu_decoder = CuDecoder(self.rec_pic, pd, restr)
         with span("decode.tiles"):
             for (row0, row1), size in zip(tiles, sizes):
                 payload = bit_reader.read_bytes(size)
                 reader = SyntaxReader(qp, pd.get_prediction_type(),
                                       BitReader(payload), restr)
-                cu_decoder = CuDecoder(self.rec_pic, pd, restr)
                 pd.tile_ctx_top_y = row0 * k.CTU_SIZE
                 for row in range(row0, row1):
                     for cx in range(pd.ctu_num_x):
                         cu_decoder.decode_ctu(row * pd.ctu_num_x + cx,
-                                              reader, reconstruct=True)
+                                              reader,
+                                              reconstruct=not jax_dsp)
                 if not reader.finish():
                     success = False
         pd.tile_ctx_top_y = 0
+        if jax_dsp:
+            # In-picture mesh scale-out (SURVEY §2.5 config-5 mapping):
+            # one whole-picture batched reconstruction whose block batch
+            # is sharded over the mesh; the leaf walk re-applies each
+            # CTU's tile mask so the collected jobs reproduce the
+            # per-tile prediction cut exactly (tpu/recon.py
+            # _for_each_leaf).  Byte-identical to the scalar tile path
+            # (tests/test_tiles.py).
+            from ..tpu.recon import JaxReconstructor
+            with span("decode.tiles.recon"):
+                JaxReconstructor(cu_decoder).reconstruct_picture()
         if pd.deblock:
             with span("decode.deblock"):
                 DeblockingFilter(pd, self.rec_pic, pd.beta_offset,

@@ -118,10 +118,21 @@ class JaxReconstructor:
 
     def _for_each_leaf(self, visitor):
         """Decode-order leaf walk with incremental availability marking
-        (the decompress-order replay; ref: cu_decoder.cc:86-100)."""
-        for rsaddr in range(self.pic.get_number_of_ctus()):
+        (the decompress-order replay; ref: cu_decoder.cc:86-100).  For
+        tile pictures the availability mask follows the CTU's tile, so
+        every collected meta row (MVs, intra availability) reproduces
+        the per-tile prediction cut while the device dispatch itself
+        stays one whole-picture batch sharded over the mesh."""
+        pic = self.pic
+        tiled = pic.tile_rows > 1
+        for rsaddr in range(pic.get_number_of_ctus()):
+            if tiled:
+                pic.tile_ctx_top_y = pic.tile_top_y_of_row(
+                    rsaddr // pic.ctu_num_x)
             for tree in self._trees():
-                self._visit(self.pic.get_ctu(tree, rsaddr), visitor)
+                self._visit(pic.get_ctu(tree, rsaddr), visitor)
+        if tiled:
+            pic.tile_ctx_top_y = 0
 
     def _visit(self, cu, visitor):
         if cu.split != k.SplitType.NONE:
@@ -478,7 +489,8 @@ class JaxReconstructor:
                 cx, cy = cu.pos(comp)
                 w, h = cu.size(comp)
                 has_l = cx > 0
-                has_a = cy > 0
+                shift = self.pic.chroma_shift_y if comp else 0
+                has_a = cy > (self.pic.tile_ctx_top_y >> shift)
                 sbl = cu.get_cu_size_below_left(comp) if has_l else 0
                 sar = cu.get_cu_size_above_right(comp) if has_a else 0
                 mode = cu.get_intra_mode(comp)
@@ -533,7 +545,7 @@ class JaxReconstructor:
             cx, cy = cu.pos(0)
             w, h = cu.size(0)
             has_l = cx > 0
-            has_a = cy > 0
+            has_a = cy > self.pic.tile_ctx_top_y  # tile top = virtual top
             sbl = cu.get_cu_size_below_left(0) if has_l else 0
             sar = cu.get_cu_size_above_right(0) if has_a else 0
             meta_rows.append((cx, cy, w, h, cu.get_intra_mode(0),
