@@ -627,6 +627,75 @@ def sec_encode_720p(ctx):
                 dict(speed_mode=2, num_ref_pics=1, sub_gop_length=1))
 
 
+def gen_yuv_mixed(path, w, h, n):
+    """Mixed-region clip (flat band / smooth gradient / moving stripes
+    / noise band): representative of real content with skippable flat
+    regions, which the bench's all-noise gen_yuv clip has none of."""
+    if os.path.exists(path):
+        return
+    rng = np.random.RandomState(9)
+    yy, xx = np.mgrid[0:h, 0:w]
+    q = h // 4
+    frames = []
+    for t in range(n):
+        y = np.zeros((h, w), np.int32)
+        y[:q] = 200
+        y[q:2 * q] = (60 + (xx[:q] + 2 * t) * 0.1).astype(np.int32)
+        y[2 * q:3 * q] = 128 + 80 * (((xx[:q] + 4 * t) >> 3) & 1)
+        y[3 * q:] = 128 + rng.randint(-25, 26, (h - 3 * q, w))
+        frames += [np.clip(y, 0, 255).astype(np.uint8).tobytes(),
+                   np.full((h // 2, w // 2), 120, np.uint8).tobytes(),
+                   np.full((h // 2, w // 2), 130, np.uint8).tobytes()]
+    with open(path, "wb") as f:
+        f.write(b"".join(frames))
+
+
+def sec_encode_dp(ctx):
+    """Device split-DP speed mode (speed 3 = fast + tpu_split_dp, the
+    bottom-up batched RDO of SURVEY §7 stage 4) vs speed 2 on mixed
+    720p content; records speedup, bitrate delta and PSNR delta.  The
+    all-noise clips never trigger decisive forcing by construction, so
+    this section uses the mixed-region clip."""
+    mix = os.path.join(WORK, "hd720_mixed.yuv")
+    gen_yuv_mixed(mix, 1280, 720, 3)
+    res = {}
+    for sm in (2, 3):
+        bs = os.path.join(WORK, "enc_dp_s%d.xvc" % sm)
+        t = our_encode_timed(mix, bs, 1280, 720, 3, speed_mode=sm,
+                             num_ref_pics=1, sub_gop_length=1)
+        res[sm] = (t, os.path.getsize(bs), bs)
+    EXTRA["host_encode_720p_dp_s2_mpixs"] = round(
+        1280 * 720 * 3 / res[2][0] / 1e6, 4)
+    EXTRA["host_encode_720p_dp_s3_mpixs"] = round(
+        1280 * 720 * 3 / res[3][0] / 1e6, 4)
+    EXTRA["encode_720p_ld_dp_speedup"] = round(res[2][0] / res[3][0], 3)
+    EXTRA["encode_720p_dp_bits_delta_pct"] = round(
+        100.0 * (res[3][1] / res[2][1] - 1.0), 2)
+    # PSNR delta via our decoder
+    code = (
+        "import numpy as np\n"
+        "from xvc_tpu.codec.decoder import decode_stream\n"
+        "src = np.frombuffer(open(%r,'rb').read(), np.uint8)"
+        ".astype(np.int64)\n"
+        "out = []\n"
+        "for p in (%r, %r):\n"
+        "    pics = decode_stream(open(p,'rb').read())\n"
+        "    rec = np.concatenate([np.frombuffer(q.bytes, np.uint8)"
+        " for q in pics]).astype(np.int64)\n"
+        "    mse = ((src - rec) ** 2).mean()\n"
+        "    out.append(10 * np.log10(255.0 ** 2 / mse))\n"
+        "print('PSNR=%%.4f %%.4f' %% (out[0], out[1]))\n"
+        % (mix, res[2][2], res[3][2]))
+    r = subprocess.run([sys.executable, "-c", code],
+                       env=dict(os.environ, PYTHONPATH=PYPATH), cwd=REPO,
+                       capture_output=True, text=True,
+                       timeout=min(300, max(60, remaining())))
+    for ln in r.stdout.splitlines():
+        if ln.startswith("PSNR="):
+            p2, p3 = map(float, ln[5:].split())
+            EXTRA["encode_720p_dp_psnr_delta_db"] = round(p3 - p2, 3)
+
+
 def sec_encode_720p_threads(ctx):
     """Threaded encode, 4 workers both sides (picture-level pipeline vs
     reference ThreadEncoder, ref: src/xvc_enc_lib/thread_encoder.cc:
@@ -792,6 +861,7 @@ def main():
         ("jaxcpu_720p", 60, sec_jaxcpu_720p),
         ("encode_small", 60, sec_encode_small),
         ("encode_720p", 60, sec_encode_720p),
+        ("encode_dp", 150, sec_encode_dp),
         ("decode_threaded", 40, sec_decode_threaded),
         ("encode_720p_threads", 130, sec_encode_720p_threads),
         ("mesh_4k", 240, sec_mesh_4k),

@@ -71,49 +71,121 @@ def test_split_dp_forces_decisions():
                                            decision_for, UNDECIDED)
     from xvc_tpu.tpu.lookahead import frame_intra_lookahead
     from xvc_tpu.restrictions import Restrictions
-    rng = np.random.RandomState(3)
+    yy, xx = np.mgrid[0:32, 0:32]
     frame = np.zeros((64, 128), np.int32)
-    frame[:, :64] = 128                      # flat half -> big leaves
-    frame[:, 64:] = rng.randint(0, 256, (64, 64))  # noise -> splits
-    maps = frame_intra_lookahead(frame, 8, Restrictions())
+    frame[:, :64] = 128                      # flat 64 block -> leaf
+    # mode-adaptive 64 block: each 32 quadrant fits a different intra
+    # mode (stripes in three directions + flat), so one shared 64 mode
+    # is decisively worse than four per-quadrant modes -> forced quad.
+    # (Pure noise is a genuine near-tie: SATD is ~additive across block
+    # sizes, so noisy nodes stay UNDECIDED by design.)
+    q = np.zeros((64, 64), np.int32)
+    q[:32, :32] = 128 + 90 * ((yy >> 2) & 1)
+    q[:32, 32:] = 128 + 90 * ((xx >> 2) & 1)
+    q[32:, :32] = 128 + 90 * (((xx + yy) >> 2) & 1)
+    q[32:, 32:] = 40
+    frame[:, 64:] = q
+    maps = frame_intra_lookahead(frame, 8, Restrictions(),
+                                 sizes=(4, 8, 16, 32, 64))
     force = split_dp_from_lookahead(maps, lambda_sqrt=8.0)
-    assert set(force) == {8, 16, 32}
-    # flat side: 32x32 nodes decided as leaves
+    assert set(force) == {8, 16, 32, 64}
+    # flat side: 32/64 nodes decided as leaves
     assert decision_for(force, 0, 0, 32, 32) == FORCE_LEAF
     assert decision_for(force, 32, 32, 32, 32) == FORCE_LEAF
-    # noise side: strong split pressure somewhere
-    noisy = [decision_for(force, x, y, 32, 32)
-             for x in (64, 96) for y in (0, 32)]
-    assert FORCE_SPLIT in noisy, noisy
+    assert decision_for(force, 0, 0, 64, 64) == FORCE_LEAF
+    assert decision_for(force, 64, 0, 64, 64) == FORCE_SPLIT
     # non-square / unaligned / unmapped queries stay undecided
     assert decision_for(force, 0, 0, 32, 16) == UNDECIDED
     assert decision_for(force, 8, 0, 16, 16) == UNDECIDED
-    assert decision_for(force, 0, 0, 64, 64) == UNDECIDED
+    assert decision_for(force, 0, 0, 128, 128) == UNDECIDED
     assert decision_for(None, 0, 0, 32, 32) == UNDECIDED
 
 
 def test_split_dp_near_ties_stay_undecided():
-    """Forcing requires a decisive (>10%) win: when leaf and quad costs
-    are within the margin of each other, the node must be UNDECIDED so
-    the encoder's full search decides it."""
+    """Forcing requires a decisive (> MARGIN_NUM/MARGIN_DEN - 1) win:
+    when leaf and quad costs are within the margin of each other, the
+    node must be UNDECIDED so the encoder's full search decides it."""
     from xvc_tpu.tpu.wavefront_rdo import (split_dp_from_lookahead,
                                            UNDECIDED, FORCE_LEAF,
                                            FORCE_SPLIT, MODE_BITS,
                                            SPLIT_BITS)
     lam = 0.0  # zero lambda: costs are exactly the map minima
     base = 10000
-    # one 16x16 node over four 8x8 children; leaf == sum(children)
+
+    def dp(maps, **kw):
+        return split_dp_from_lookahead(maps, lam, **kw)[16][0, 0]
+
+    # one 16x16 node over four 8x8 children; leaf == sum(children);
+    # max_binary_size=0 isolates the leaf-vs-quad comparison
     maps = {8: np.full((2, 2, 1), base // 4, np.int32),
             16: np.full((1, 1, 1), base, np.int32)}
-    force = split_dp_from_lookahead(maps, lam)
-    assert force[16][0, 0] == UNDECIDED
-    # 5% better split: still inside the margin -> undecided
-    maps[8][:] = int(base * 0.95) // 4
-    assert split_dp_from_lookahead(maps, lam)[16][0, 0] == UNDECIDED
+    assert dp(maps, max_binary_size=0) == UNDECIDED
+    # 2% better split: still inside the (5%) margin -> undecided
+    maps[8][:] = int(base * 0.98) // 4
+    assert dp(maps, max_binary_size=0) == UNDECIDED
     # 20% better split: decisive -> forced split
     maps[8][:] = int(base * 0.80) // 4
-    assert split_dp_from_lookahead(maps, lam)[16][0, 0] == FORCE_SPLIT
-    # 20% better leaf: decisive -> forced leaf
+    assert dp(maps, max_binary_size=0) == FORCE_SPLIT
+    # ... but with binary splits legal, the same geometry is reachable
+    # via hor/ver arms, so quad is never decisively better -> undecided
+    assert dp(maps) == UNDECIDED
+    # 20% better leaf: decisive -> forced leaf (binary can't beat the
+    # leaf either: its parts cost the same as quad's children)
     maps[8][:] = int(base * 1.25) // 4
     maps[16][:] = base
-    assert split_dp_from_lookahead(maps, lam)[16][0, 0] == FORCE_LEAF
+    assert dp(maps, max_binary_size=0) == FORCE_LEAF
+    assert dp(maps) == FORCE_LEAF
+
+
+def test_speed3_native_python_identical_and_conforming():
+    """speed_mode 3 (TPU: fast knobs + device split DP) must produce
+    byte-identical streams from the native encoder and the Python twin,
+    stay conforming, and actually force decisions on structured
+    content."""
+    import os
+    from xvc_tpu.tpu import wavefront_rdo as wf
+    w, h, f = 192, 192, 2
+    yy, xx = np.mgrid[0:h, 0:w]
+    rng = np.random.RandomState(5)
+    frames = []
+    for t in range(f):
+        y = np.zeros((h, w), np.int32)
+        y[:64] = 210                                   # flat band
+        y[64:128] = 128 + 80 * (((xx[:64] + 4 * t) >> 3) & 1)  # stripes
+        y[128:] = 128 + rng.randint(-20, 21, (64, w))  # noise band
+        frames += [np.clip(y, 0, 255).astype(np.uint8).tobytes(),
+                   np.full((h // 2, w // 2), 120, np.uint8).tobytes(),
+                   np.full((h // 2, w // 2), 130, np.uint8).tobytes()]
+    yuv = b"".join(frames)
+
+    forced = []
+    orig_pack = wf.pack_force_maps
+
+    def pack_spy(fm, pw, ph, sizes=(8, 16, 32, 64)):
+        buf = orig_pack(fm, pw, ph, sizes)
+        forced.append(int((buf != 0).sum()))
+        return buf
+
+    def enc(native):
+        os.environ["XVC_ENC_NATIVE"] = "1" if native else "0"
+        try:
+            s = EncoderSettings()
+            s.initialize_speed(3)
+            nals = encode_stream(yuv, w, h, f, qp=32, settings=s,
+                                 sub_gop_length=2, num_ref_pics=1,
+                                 checksum_mode=1)
+        finally:
+            os.environ.pop("XVC_ENC_NATIVE", None)
+        from xvc_tpu.nal import write_nal_units
+        return write_nal_units(nals)
+
+    wf.pack_force_maps = pack_spy
+    try:
+        nat = enc(True)
+    finally:
+        wf.pack_force_maps = orig_pack
+    assert forced and any(n > 0 for n in forced), forced
+    pyt = enc(False)
+    assert nat == pyt, (len(nat), len(pyt))
+    pics = decode_stream(nat)
+    assert len(pics) == f and all(p.conforming for p in pics)

@@ -131,6 +131,7 @@ class CuEncoder(TransformEncoder):
         do_split_any = do_quad_split or do_hor_split or do_ver_split
 
         if self.split_dp is not None and cu.binary_depth == 0 and \
+                cu.cu_tree == k.CuTree.PRIMARY and \
                 cu.is_fully_within_picture():
             # bottom-up batched RDO: the device DP settles decisive
             # quad-split decisions, replacing the top-down trial of

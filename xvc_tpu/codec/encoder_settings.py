@@ -10,6 +10,11 @@ class SpeedMode:
     PLACEBO = 0
     SLOW = 1
     FAST = 2
+    # xvc_tpu extension (not in the reference): FAST knobs + the device
+    # bottom-up split DP (tpu/wavefront_rdo.py) pruning the CU
+    # recursion from batched cost maps.  Conforming, reference-
+    # decodable streams; bitstream differs from speed 2.
+    TPU = 3
 
 
 class TuneMode:
@@ -127,7 +132,7 @@ class EncoderSettings:
             self.fast_transform_select = 0
             self.fast_inter_local_illumination_comp = 0
             self.fast_inter_adaptive_fullpel_mv = 0
-        elif speed_mode == SpeedMode.FAST:
+        elif speed_mode in (SpeedMode.FAST, SpeedMode.TPU):
             self.bipred_refinement_iterations = 1
             self.always_evaluate_intra_in_inter = 0
             self.default_num_ref_pics = 1
@@ -138,6 +143,8 @@ class EncoderSettings:
             self.fast_transform_select = 1
             self.fast_inter_local_illumination_comp = 1
             self.fast_inter_adaptive_fullpel_mv = 1
+            if speed_mode == SpeedMode.TPU:
+                self.tpu_split_dp = 1
         else:
             raise ValueError("bad speed mode")
 

@@ -230,6 +230,8 @@ class IntraSearch:
         # quality pinned by tests/test_tpu_lookahead.py.
         if (self.lookahead is not None and w == h and w in self.lookahead
                 and cx % w == 0 and cy % h == 0 and
+                cy // h < self.lookahead[w].shape[0] and
+                cx // w < self.lookahead[w].shape[1] and
                 not restr.disable_ext2_intra_67_modes):
             costs = self.lookahead[w][cy // h, cx // w]
             width_log2 = w.bit_length() - 1

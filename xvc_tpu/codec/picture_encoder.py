@@ -106,31 +106,34 @@ class PictureEncoder:
             bit_writer.write_bits(1, 8)
         self._write_header(segment, pd, buffer_flag, bit_writer)
 
+        split_dp = None
+        if settings.tpu_split_dp:
+            # bottom-up batched split RDO (SURVEY.md §7 stage 4): device
+            # SATD lookahead maps + open-loop zero-MV inter SAD maps,
+            # settled by one on-device DP; decisive decisions prune the
+            # top-down recursion in whichever backend runs the search
+            split_dp = self._compute_split_dp(pd, segment, base_qp)
         if use_native:
             # Whole-picture CTU RDO + entropy write in one native call
             # (native/xvcn_enc.inc); byte-identical to the Python path.
             from ..profiling import span
+            split_buf = None
+            if split_dp is not None:
+                from ..tpu.wavefront_rdo import pack_force_maps
+                split_buf = pack_force_maps(split_dp, pd.width, pd.height)
             with span("encode.native"):
                 payload = native_enc.encode_picture(
-                    self, segment, settings, base_qp)
+                    self, segment, settings, base_qp,
+                    split_force=split_buf)
             bit_writer.write_bytes(payload)
         else:
             cu_encoder = CuEncoder(self.orig_pic, self.rec_pic, pd, settings)
-            if settings.tpu_intra_lookahead or (settings.tpu_split_dp and
-                                                pd.is_intra_pic()):
+            cu_encoder.split_dp = split_dp
+            if settings.tpu_intra_lookahead:
                 from ..tpu.lookahead import frame_intra_lookahead
                 cu_encoder.intra_search.lookahead = frame_intra_lookahead(
                     self.orig_pic.plane_view(0), pd.bitdepth,
                     segment.restrictions)
-            if settings.tpu_split_dp and pd.is_intra_pic() and \
-                    cu_encoder.intra_search.lookahead:
-                # bottom-up batched split RDO (SURVEY.md §7 stage 4):
-                # vectorized DP over the device leaf-cost maps settles
-                # decisive quad-split decisions before the CTU loop
-                from ..tpu.wavefront_rdo import split_dp_from_lookahead
-                cu_encoder.split_dp = split_dp_from_lookahead(
-                    cu_encoder.intra_search.lookahead,
-                    base_qp.lambda_sqrt)
             if not pd.is_intra_pic():
                 from .inter_me import InterSearch
                 cu_encoder.inter_search = InterSearch(cu_encoder)
@@ -180,6 +183,48 @@ class PictureEncoder:
             self.pic_hash = b""
         self._calculate_stats(base_qp)
         return bit_writer.get_bytes()
+
+    def _compute_split_dp(self, pd, segment, base_qp):
+        """Device cost maps + on-device split DP -> force maps (or None
+        when the picture shape yields no maps).
+
+        16/32/64 SATD maps over a 4x mode subset (every 4th angular +
+        planar/DC — an upper-bound cost is plenty for 5%-margin
+        decisions); inter pictures add open-loop zero-MV SAD leaves
+        against the refs' original planes (one fused dispatch) and
+        allow only FORCE_LEAF — "detail -> split" is unsound without
+        true-motion costs."""
+        from ..tpu import wavefront_rdo as wf
+        from ..tpu.lookahead import frame_intra_lookahead
+        # the per-mode einsum scales ~n^3 per pixel, so the 64 maps use
+        # a coarser mode subset than 16/32 (flat-vs-not is what the DP
+        # needs at 64)
+        maps = frame_intra_lookahead(self.orig_pic.plane_view(0),
+                                     pd.bitdepth, segment.restrictions,
+                                     sizes=(16, 32), mode_step=4)
+        maps.update(frame_intra_lookahead(
+            self.orig_pic.plane_view(0), pd.bitdepth,
+            segment.restrictions, sizes=(64,), mode_step=8))
+        if not maps:
+            return None
+        inter_sad = None
+        if not pd.is_intra_pic():
+            refs = []
+            nl = 2 if pd.get_prediction_type() == \
+                k.PicturePredictionType.BI else 1
+            for lst in range(nl):
+                for i in range(pd.ref_pic_lists.get_num_ref_pics(lst)):
+                    entry = pd.ref_pic_lists.entries[lst][i]
+                    if entry.orig_pic is not None:
+                        refs.append(entry.orig_pic.plane_view(0))
+            inter_sad = wf.frame_zero_mv_sad(
+                self.orig_pic.plane_view(0), refs, pd.bitdepth,
+                sizes=(16, 32, 64))
+        return wf.split_dp_from_lookahead(
+            maps, base_qp.lambda_sqrt, inter_sad,
+            max_binary_size=pd.get_max_binary_split_size(k.CuTree.PRIMARY),
+            binary_depth_ok=segment.max_binary_split_depth > 0,
+            allow_force_split=pd.is_intra_pic())
 
     def _write_header(self, segment, pd, buffer_flag, bit_writer):
         """(ref: picture_encoder.cc:173-197)"""

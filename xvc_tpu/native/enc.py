@@ -99,6 +99,7 @@ class XvcnEncPicParams(c.Structure):
         ("txrd_ns", c.c_int64),
         ("write_ns", c.c_int64),
         ("deblock_ns", c.c_int64),
+        ("split_force", c.c_int64),
     ]
 
 
@@ -116,8 +117,8 @@ def usable_for(pic_data, settings):
     paths stay exercised."""
     if not available():
         return False
-    if settings.tpu_intra_lookahead or settings.tpu_split_dp:
-        return False
+    if settings.tpu_intra_lookahead:
+        return False  # device mode-candidate reordering is Python-only
     if getattr(pic_data, "tile_rows", 1) > 1 or settings.tile_rows >= 2:
         return False  # tile extension: Python twin only (for now)
     from ..engine import use_jax_intra_prepass, use_jax_me
@@ -126,9 +127,12 @@ def usable_for(pic_data, settings):
     return True
 
 
-def encode_picture(pic_encoder, segment, settings, base_qp):
+def encode_picture(pic_encoder, segment, settings, base_qp,
+                   split_force=None):
     """Returns the CABAC payload bytes for one picture; the
-    reconstruction is written into pic_encoder.rec_pic in place."""
+    reconstruction is written into pic_encoder.rec_pic in place.
+    split_force: optional packed int8 force-map buffer from
+    tpu/wavefront_rdo.pack_force_maps (device split DP)."""
     pd = pic_encoder.pic_data
     rec = pic_encoder.rec_pic
     orig = pic_encoder.orig_pic
@@ -216,8 +220,11 @@ def encode_picture(pic_encoder, segment, settings, base_qp):
     s.skip_mode_decision_for_identical_cu = \
         1 if settings.skip_mode_decision_for_identical_cu else 0
 
+    if split_force is not None:
+        p.split_force = split_force.ctypes.data
     keep_alive = [ctx.state, fam41, fam18, tx_blob, tx_offsets, restr_vec,
-                  out, mvfield] + [orig.planes[i] for i in range(3)] + \
+                  out, mvfield, split_force] + \
+                 [orig.planes[i] for i in range(3)] + \
                  [rec.rec16(i) for i in range(3)]
     rpl = pd.ref_pic_lists
     for lst in range(2):

@@ -29,7 +29,7 @@ def shard_count(mesh):
     return int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
 
-def make_sharded_intra_satd_fn(mesh, n, bitdepth):
+def make_sharded_intra_satd_fn(mesh, n, bitdepth, mode_step=1):
     """Mesh-sharded twin of analysis.make_intra_satd_fn: blocks are
     split over every mesh axis (data parallel); returns
     fn(orig [B,n,n], top [B,2n+1], left [B,2n]) -> [B,67] int32 with B
@@ -50,7 +50,7 @@ def make_sharded_intra_satd_fn(mesh, n, bitdepth):
     multiproc = jax.process_count() > 1
 
     def step(orig, top, left, weights):
-        post_filter = n <= 16
+        post_filter = n <= 16 and mode_step == 1
         preds = ib.predict_all_modes(n, top, left, weights, bitdepth,
                                      post_filter)
         diff = orig[:, None].astype(jnp.int32) - preds
@@ -58,7 +58,7 @@ def make_sharded_intra_satd_fn(mesh, n, bitdepth):
 
     jitted = jax.jit(step, in_shardings=(dspec, dspec, dspec, rep),
                      out_shardings=rep if multiproc else dspec)
-    weights = np.asarray(ib.angular_weight_tensor(n))
+    weights = np.asarray(ib.angular_weight_tensor(n)[::mode_step])
 
     def fn(orig, top, left):
         if multiproc:

@@ -23,21 +23,25 @@ from . import intra_batch as ib
 from . import satd as satd_mod
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _intra_satd_step(orig, top, left, n, bitdepth):
-    weights = jnp.asarray(ib.angular_weight_tensor(n))
-    post_filter = n <= 16
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _intra_satd_step(orig, top, left, n, bitdepth, mode_step=1):
+    """mode_step > 1 evaluates planar/DC + every mode_step-th angular
+    (no post filter): a cheap upper-bound cost subset for the split DP
+    (tpu/wavefront_rdo.py), ~mode_step x less einsum work."""
+    weights = jnp.asarray(ib.angular_weight_tensor(n)[::mode_step])
+    post_filter = n <= 16 and mode_step == 1
     preds = ib.predict_all_modes(n, top, left, weights, bitdepth,
                                  post_filter)
     diff = orig[:, None].astype(jnp.int32) - preds
     return satd_mod.satd_square(diff, bitdepth)
 
 
-def make_intra_satd_fn(n, bitdepth):
-    """Returns jitted fn(orig [B,n,n], top [B,2n+1], left [B,2n]) -> [B,67]
-    int32 SATD per mode, bit-exact vs the host path."""
+def make_intra_satd_fn(n, bitdepth, mode_step=1):
+    """Returns jitted fn(orig [B,n,n], top [B,2n+1], left [B,2n]) -> [B,M]
+    int32 SATD per mode, bit-exact vs the host path (M=67 when
+    mode_step == 1, else 2 + ceil(65/mode_step))."""
     def fn(orig, top, left):
-        return _intra_satd_step(orig, top, left, n, bitdepth)
+        return _intra_satd_step(orig, top, left, n, bitdepth, mode_step)
     return fn
 
 

@@ -180,7 +180,7 @@ def predict_all_modes(orig_dtype_n, top, left, weights, bitdepth,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
     ang = jnp.floor((num + 16.0) * (1.0 / 32.0)).astype(jnp.int32)
-    ang = ang.reshape(b, NUM_MODES_EXT - 2, n, n)
+    ang = ang.reshape(b, weights.shape[0], n, n)
 
     if post_filter:  # luma, n <= 16 (ref: intra_prediction.cc:306-320)
         dtop = (top[:, 1:1 + n] - top[:, :1])

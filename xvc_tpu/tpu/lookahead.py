@@ -50,7 +50,8 @@ def _extract_grid(frame, n, bitdepth, restr):
     return orig, top, left
 
 
-def frame_intra_lookahead(luma_plane, bitdepth, restr, sizes=SIZES):
+def frame_intra_lookahead(luma_plane, bitdepth, restr, sizes=SIZES,
+                          mode_step=1):
     """Returns {n: costs[bh, bw, 67] int32} open-loop SATD maps for the
     whole picture, one device call per size.
 
@@ -70,11 +71,13 @@ def frame_intra_lookahead(luma_plane, bitdepth, restr, sizes=SIZES):
     mesh = get_mesh() if pin is None else None
     maps = {}
     for n in sizes:
-        if h < n or w < n or h % n or w % n:
+        if h < n or w < n:
             continue
+        # floor grid: only fully-covered blocks get a map entry; edge
+        # partials stay out (consumers bounds-check and fall back)
         orig, top, left = _extract_grid(frame, n, bitdepth, restr)
         if pin is not None:
-            fn = an.make_intra_satd_fn(n, bitdepth)
+            fn = an.make_intra_satd_fn(n, bitdepth, mode_step)
             costs = np.asarray(jax.device_get(fn(
                 jax.device_put(orig, pin), jax.device_put(top, pin),
                 jax.device_put(left, pin))))
@@ -91,10 +94,10 @@ def frame_intra_lookahead(luma_plane, bitdepth, restr, sizes=SIZES):
                                                     top.dtype)])
                 left = np.concatenate([left, np.zeros((pad,) +
                                        left.shape[1:], left.dtype)])
-            fn = make_sharded_intra_satd_fn(mesh, n, bitdepth)
+            fn = make_sharded_intra_satd_fn(mesh, n, bitdepth, mode_step)
             costs = np.asarray(jax.device_get(fn(orig, top, left)))[:b]
         else:
-            fn = an.make_intra_satd_fn(n, bitdepth)
+            fn = an.make_intra_satd_fn(n, bitdepth, mode_step)
             costs = np.asarray(fn(jnp.asarray(orig), jnp.asarray(top),
                                   jnp.asarray(left)))
         maps[n] = costs.reshape(h // n, w // n, -1)
