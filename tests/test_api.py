@@ -65,3 +65,49 @@ def test_encode_planes_matches_packed():
     enc_b = api.EncoderSession(params)
     nals_b = enc_b.encode_planes([y, u, v]) + enc_b.flush()
     assert nals_a == nals_b
+
+
+def test_leading_pictures_early_flush():
+    """Flushing a leading-pictures session before a full sub-GOP must
+    renumber the buffered pictures to the normal structure and emit a
+    valid stream (ref: encoder.cc:158-167 + RewriteLeadingPictures
+    :602-628 — the reference BINARY segfaults on this path; we encode
+    a decodable stream instead)."""
+    import numpy as np
+    from xvc_tpu import api
+    from xvc_tpu.codec.decoder import decode_stream
+    rng = np.random.RandomState(1)
+    w, h = 64, 64
+    fs = w * h * 3 // 2
+    for nframes in (2, 5, 8):
+        p = api.EncoderParameters(width=w, height=h, qp=32,
+                                  num_ref_pics=2, sub_gop_length=8,
+                                  checksum_mode=1, leading_pictures=1)
+        enc = api.EncoderSession(p)
+        raw = b"".join(rng.randint(0, 256, fs, dtype=np.uint8).tobytes()
+                       for _ in range(nframes))
+        nals = []
+        for i in range(nframes):
+            nals += enc.encode(raw[i * fs:(i + 1) * fs])
+        nals += enc.flush()
+        data = b"".join(len(n).to_bytes(4, "little") + n for n in nals)
+        pics = decode_stream(data)
+        assert len(pics) == nframes, (nframes, len(pics))
+        assert all(q.conforming for q in pics)
+        # the rewritten stream must decode on the reference too
+        import os
+        import subprocess
+        import tempfile
+        dec = "/tmp/refbuild/app/xvcdec"
+        if os.path.exists(dec):
+            with tempfile.TemporaryDirectory() as td:
+                bs = os.path.join(td, "s.xvc")
+                out = os.path.join(td, "o.yuv")
+                open(bs, "wb").write(data)
+                r = subprocess.run([dec, "-bitstream-file", bs,
+                                    "-output-file", out],
+                                   capture_output=True, text=True,
+                                   timeout=60)
+                assert r.returncode == 0, r.stdout + r.stderr
+                ours = b"".join(q.bytes for q in pics)
+                assert open(out, "rb").read() == ours

@@ -219,6 +219,18 @@ class Encoder:
         if self.poc > 0:
             self.poc -= 1
         if self.doc < self.poc:
+            if self.doc == 0 and self.segment_header.leading_pictures:
+                # Early flush before a full sub-GOP in leading-pictures
+                # mode: disable leading pictures and renumber the
+                # buffered pictures to the normal structure
+                # (ref: encoder.cc:158-167 + RewriteLeadingPictures
+                # :602-628 — which crashes in the reference binary on
+                # this path; ours encodes a valid stream,
+                # tests/test_api.py::test_leading_pictures_early_flush).
+                first_pic = self._rewrite_leading_pictures()
+                if first_pic is not None:
+                    self._encode_one_picture(first_pic)
+                    self.doc = 0
             pics_to_encode = self.poc - self.doc
             num_encoded = 0
             while num_encoded < pics_to_encode:
@@ -247,6 +259,34 @@ class Encoder:
             if not more:
                 break
         return nals
+
+    def _rewrite_leading_pictures(self):
+        """Convert every buffered (unencoded) picture from the leading
+        structure to the normal one: poc -= 1, doc/tid recomputed from
+        the non-leading sub-GOP tables, poc 0 becomes the intra access
+        picture.  Returns the new poc-0 picture
+        (ref: encoder.cc:602-628)."""
+        sh = self.segment_header
+        sh.leading_pictures = 0
+        self.settings.leading_pictures = 0
+        self.poc -= 1
+        pic_zero = None
+        for pic in self.pic_encoders:
+            if pic.output_status != "ready":
+                continue  # recycled/encoded entries keep their numbers
+            pd = pic.pic_data
+            poc = pd.poc - 1
+            pd.poc = poc
+            pd.doc = seg.calc_doc_from_poc(poc, sh.max_sub_gop_length,
+                                           self.sub_gop_start_poc)
+            pd.tid = seg.calc_tid_from_doc(pd.doc, sh.max_sub_gop_length,
+                                           self.sub_gop_start_poc)
+            max_tid = seg.get_max_tid(sh.max_sub_gop_length)
+            pd.highest_layer = pd.tid == max_tid and not sh.low_delay
+            if poc == 0:
+                pd.nal_type = k.NalUnitType.INTRA_ACCESS_PICTURE
+                pic_zero = pic
+        return pic_zero
 
     # ---- internals ----
     def _initialize(self):
