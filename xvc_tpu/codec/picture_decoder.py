@@ -199,14 +199,41 @@ class PictureDecoder:
                                      post_process)
         import jax
         devs = list(get_mesh().devices.flat)
-        pin = devs[self.pic_data.doc % len(devs)]
+        # Placement follows the schedule: a sequential session decodes
+        # one picture at a time with reference dependencies chaining
+        # them, so spreading pictures over devices only adds d2d ref
+        # moves and cross-device dispatch latency — everything stays on
+        # one chip.  The threaded pipeline overlaps pictures, so there
+        # DOC-pair rotation covers the mesh (pairs share a device:
+        # temporally adjacent pictures usually reference each other,
+        # halving the reference-plane traffic).
+        if getattr(self, "_pipelined", False):
+            pin = devs[(self.pic_data.doc // 2) % len(devs)]
+        else:
+            pin = devs[0]
         set_pin_device(pin)
         try:
             with jax.default_device(pin):
+                self._prefetch_ref_slots()
                 return self._decode_impl(segment, prev_segment,
                                          bit_reader, post_process)
         finally:
             set_pin_device(None)
+
+    def _prefetch_ref_slots(self):
+        """Start the device-to-device moves of reference planes decoded
+        on OTHER mesh devices now, so the (async) copies overlap this
+        picture's host CABAC parse instead of stalling the first MC
+        dispatch (ensure_slot would otherwise issue them lazily
+        mid-reconstruction)."""
+        from ..tpu import flat_recon
+        rpl = self.pic_data.ref_pic_lists
+        for lst in range(2):
+            for i in range(rpl.get_num_ref_pics(lst)):
+                entry = rpl.entries[lst][i]
+                rec = getattr(entry, "rec_pic", None)
+                if rec is not None and getattr(rec, "_dev_slots", None):
+                    flat_recon.ensure_slot(rec)
 
     def _decode_impl(self, segment, prev_segment, bit_reader,
                      post_process=True):

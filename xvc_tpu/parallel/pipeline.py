@@ -13,8 +13,20 @@ every picture sees exactly the reference pictures the sequential
 decoder would have used (pinned by tests/test_threads.py, the analog of
 test/xvc_test/restrictions_test.cc SupportParallelDecode*).
 """
+import os
 import threading
 from concurrent.futures import ThreadPoolExecutor
+
+
+def _pool_size(num_threads):
+    """Clamp workers to hardware concurrency: the reference C++ threads
+    oversubscribe almost for free (thread_encoder.cc:29), but Python
+    workers pay GIL hand-offs around every native call, so on a loaded
+    or small host extra workers only add contention.  Output is
+    identical for any worker count by construction
+    (tests/test_threads.py)."""
+    hw = os.cpu_count() or num_threads
+    return max(1, min(num_threads, hw))
 
 
 class PictureJob:
@@ -32,11 +44,14 @@ class DecodePipeline:
     """Executes picture decodes with inter-prediction dependencies."""
 
     def __init__(self, num_threads):
-        self.executor = ThreadPoolExecutor(max_workers=num_threads,
-                                           thread_name_prefix="xvc-dec")
+        self.executor = ThreadPoolExecutor(
+            max_workers=_pool_size(num_threads),
+            thread_name_prefix="xvc-dec")
 
     def submit(self, pic_dec, deps, segment_header, prev_segment_header,
                bit_reader):
+        pic_dec._pipelined = True  # mesh pin rotation only pays when
+        #                            pictures actually overlap
         if not hasattr(pic_dec, "recon_done"):
             pic_dec.recon_done = threading.Event()
         pic_dec.recon_done.clear()
@@ -92,8 +107,9 @@ class EncodePipeline:
     """
 
     def __init__(self, num_threads):
-        self.executor = ThreadPoolExecutor(max_workers=num_threads,
-                                           thread_name_prefix="xvc-enc")
+        self.executor = ThreadPoolExecutor(
+            max_workers=_pool_size(num_threads),
+            thread_name_prefix="xvc-enc")
 
     def submit(self, pic_enc, deps, segment_header, segment_qp, buffer_flag,
                settings, device=None):
