@@ -21,6 +21,25 @@ def use_jax_dsp():
     return dsp_engine() == "jax"
 
 
+def use_pallas_mc():
+    """Pallas MC kernel for the flat decode path's window gathers
+    (tpu/pallas_mc.py, 6-8x the XLA gather formulation on chip).
+    Default: on for TPU backends, off for CPU (Mosaic is TPU-only).
+    Override with XVC_MC_PALLAS=0/1."""
+    import os
+    v = os.environ.get("XVC_MC_PALLAS")
+    if v == "0":
+        return False
+    try:
+        import jax
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    if platform == "cpu":
+        return False
+    return True
+
+
 def set_mesh(mesh):
     """Install a jax.sharding.Mesh: the device reconstruction stages
     shard their block batches over its 'blk' axis (data parallelism

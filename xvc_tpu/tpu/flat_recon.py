@@ -163,7 +163,10 @@ def _store_key(rec_pic, dev=None):
 
 def _padded_shape(rec_pic, comp):
     h, w = rec_pic._plane_shapes[comp]
-    return (h + 64, w + 64)
+    # tile-aligned allocation: the Pallas MC kernel's HBM window DMAs
+    # need plane dims on (8, 128) boundaries (tpu/pallas_mc.py); the
+    # extra bottom/right margin is edge-replicated padding either way
+    return (-(-(h + 64) // 8) * 8, -(-(w + 64) // 128) * 128)
 
 
 def get_store(rec_pic, dev=None):
@@ -242,8 +245,10 @@ def ensure_slot(rec_pic):
             planes[comp] = pl
     else:
         for comp in range(ncomp):
-            host = np.pad(rec_pic.padded_plane(comp).astype(np.int16),
-                          ((0, 64), (0, 64)))
+            base = rec_pic.padded_plane(comp).astype(np.int16)
+            th, tw = _padded_shape(rec_pic, comp)
+            host = np.pad(base, ((0, th - base.shape[0]),
+                                 (0, tw - base.shape[1])), mode="edge")
             planes[comp] = jnp.asarray(host) if dev is None else \
                 jax.device_put(host, dev)
             dsp.STATS["uploads"] += 1
@@ -257,18 +262,21 @@ def ensure_slot(rec_pic):
 
 def device_pad_planes(rec, planes_dev):
     """Edge-replicate padding on device: visible plane -> padded plane
-    plus the 64-sample right/bottom margin for bucketed MC windows
+    plus the (aligned) right/bottom margin for bucketed MC windows
     (the device pad_border, ref: yuv_pic.cc PadBorder)."""
     import jax.numpy as jnp
     out = {}
     for comp, pl in planes_dev.items():
         px, py = rec.pad_x[comp], rec.pad_y[comp]
+        th, tw = _padded_shape(rec, comp)
+        bot = th - 2 * py - pl.shape[0] + py
+        rgt = tw - 2 * px - pl.shape[1] + px
         core = jnp.concatenate([
             jnp.repeat(pl[:1], py, axis=0), pl,
-            jnp.repeat(pl[-1:], py + 64, axis=0)], axis=0)
+            jnp.repeat(pl[-1:], bot, axis=0)], axis=0)
         out[comp] = jnp.concatenate([
             jnp.repeat(core[:, :1], px, axis=1), core,
-            jnp.repeat(core[:, -1:], px + 64, axis=1)], axis=1)
+            jnp.repeat(core[:, -1:], rgt, axis=1)], axis=1)
     return out
 
 
@@ -423,8 +431,26 @@ def make_mc_scatter(wb, hb, luma, bitdepth, high_prec, short_out, batch,
     import jax
     import jax.numpy as jnp
     from jax import lax
-    core = dsp._mc_core_builder(wb, hb, luma, bitdepth, high_prec,
-                                short_out)
+    taps = 8 if luma else 4
+    use_pallas = False
+    from ..engine import use_pallas_mc
+    if use_pallas_mc():
+        # the Pallas window-DMA kernel needs tile-aligned plane dims and
+        # room for one aligned superset window (6-8x the XLA gather on
+        # chip, bit-exact; tpu/pallas_mc.py)
+        whp = -(-(hb + taps - 1 + 7) // 8) * 8
+        wwp = -(-(wb + taps - 1 + 127) // 128) * 128
+        use_pallas = (plane_h % 8 == 0 and plane_w % 128 == 0 and
+                      plane_h >= whp and plane_w >= wwp)
+    if use_pallas:
+        from .pallas_mc import mc_pallas_direct
+        pcore = mc_pallas_direct(wb, hb, luma, bitdepth, high_prec,
+                                 short_out, group=16)
+        core = lambda planes, r, y, x, fx, fy: pcore(
+            planes, jnp.stack([r, y, x, fx, fy]))
+    else:
+        core = dsp._mc_core_builder(wb, hb, luma, bitdepth, high_prec,
+                                    short_out)
 
     def fn(pred, mask, planes, flat32, p_off):
         pm = lax.dynamic_slice(flat32, (p_off,),

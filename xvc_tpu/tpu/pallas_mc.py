@@ -225,7 +225,15 @@ def make_mc_pallas(width, height, luma, bitdepth, high_prec, short_out,
         interpret=interpret,
     )
 
+    from .dsp import jit_cached
+
     def fn(planes, params):
+        # plane dims must be tile-aligned: DMA slice starts AND shapes
+        # must sit on (8, 128) boundaries, and the right/bottom-edge
+        # clamp can only produce aligned starts when hp/wp are aligned
+        # (probed on-chip: unaligned planes silently corrupt edge
+        # blocks).  The frame store allocates aligned planes
+        # (tpu/flat_recon._padded_shape).
         if (planes.shape[1] % 8 or planes.shape[2] % 128
                 or planes.shape[1] < whp or planes.shape[2] < wwp):
             raise ValueError(
@@ -234,7 +242,7 @@ def make_mc_pallas(width, height, luma, bitdepth, high_prec, short_out,
         fxy = params[3:5].reshape(2, ngroups, group).transpose(1, 0, 2)
         return call(params, planes, fxy, table)
 
-    return jax.jit(fn)
+    return jit_cached(fn)
 
 
 def mc_pallas_direct(width, height, luma, bitdepth, high_prec, short_out,
