@@ -23,21 +23,22 @@ def use_jax_dsp():
 
 def use_pallas_mc():
     """Pallas MC kernel for the flat decode path's window gathers
-    (tpu/pallas_mc.py, 6-8x the XLA gather formulation on chip).
-    Default: on for TPU backends, off for CPU (Mosaic is TPU-only).
-    Override with XVC_MC_PALLAS=0/1."""
+    (tpu/pallas_mc.py, 6-8x the XLA gather formulation on chip,
+    bit-exact at the kernel level).  Opt-in via XVC_MC_PALLAS=1 for
+    now: each (shape, variant) costs one Mosaic compile, and through
+    this environment's remote-compile relay a cold decode's kernel set
+    can take minutes to build; flip the default once the end-to-end
+    on-chip decode has been timed with a warm cache.  Requires a
+    non-CPU backend (Mosaic is TPU-only)."""
     import os
-    v = os.environ.get("XVC_MC_PALLAS")
-    if v == "0":
+    if os.environ.get("XVC_MC_PALLAS") != "1":
         return False
     try:
         import jax
         platform = jax.devices()[0].platform
     except Exception:
         return False
-    if platform == "cpu":
-        return False
-    return True
+    return platform != "cpu"
 
 
 def set_mesh(mesh):

@@ -434,10 +434,13 @@ def make_mc_scatter(wb, hb, luma, bitdepth, high_prec, short_out, batch,
     taps = 8 if luma else 4
     use_pallas = False
     from ..engine import use_pallas_mc
-    if use_pallas_mc():
+    if use_pallas_mc() and luma and min(wb, hb) >= 8:
         # the Pallas window-DMA kernel needs tile-aligned plane dims and
         # room for one aligned superset window (6-8x the XLA gather on
-        # chip, bit-exact; tpu/pallas_mc.py)
+        # chip, bit-exact; tpu/pallas_mc.py).  Only the luma >=8 block
+        # buckets take it: they carry most of the MC pixels, and each
+        # (shape, variant) costs one Mosaic compile (persisted in the
+        # jit_cached compile cache).
         whp = -(-(hb + taps - 1 + 7) // 8) * 8
         wwp = -(-(wb + taps - 1 + 127) // 128) * 128
         use_pallas = (plane_h % 8 == 0 and plane_w % 128 == 0 and
