@@ -13,6 +13,14 @@ from xvc_tpu import api
 from .util import read_data
 
 
+@pytest.fixture(autouse=True)
+def _no_clamp(monkeypatch):
+    # On small hosts the sessions clamp a 1-effective-worker pool to
+    # the sequential path; these tests exist to exercise the pipeline
+    # itself, so disable the clamp.
+    monkeypatch.setenv("XVC_THREADS_NO_CLAMP", "1")
+
+
 def decode_all(bs, threads):
     dec = api.DecoderSession(api.DecoderParameters(threads=threads))
     off = 0

@@ -37,9 +37,15 @@ class OutputPicture:
 
 class Decoder:
     def __init__(self, num_threads=0):
-        from ..parallel.pipeline import DecodePipeline
-        self.pipeline = DecodePipeline(num_threads) if num_threads > 0 \
-            else None
+        from ..parallel.pipeline import DecodePipeline, _pool_size
+        # A clamped pool of 1 worker cannot overlap anything but still
+        # pays queue/event hand-offs around every picture; route it to
+        # the sequential path (identical output by construction,
+        # tests/test_threads.py) — ref ThreadDecoder keeps its pool but
+        # its workers are pure C++ (thread_decoder.cc:29-176).
+        self.pipeline = (DecodePipeline(num_threads)
+                         if num_threads > 0 and _pool_size(num_threads) > 1
+                         else None)
         self.curr_segment_header = seg.SegmentHeader()
         self.prev_segment_header = seg.SegmentHeader()
         self.state = DecoderState.NO_SEGMENT_HEADER

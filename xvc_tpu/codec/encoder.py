@@ -33,9 +33,13 @@ class EncodedNal:
 
 class Encoder:
     def __init__(self, internal_bitdepth=8, num_threads=0):
-        from ..parallel.pipeline import EncodePipeline
-        self.pipeline = EncodePipeline(num_threads) if num_threads > 0 \
-            else None
+        from ..parallel.pipeline import EncodePipeline, _pool_size
+        # 1 effective worker = no overlap, only hand-off overhead;
+        # route to the sequential path (identical bitstream by
+        # construction, tests/test_threads.py).
+        self.pipeline = (EncodePipeline(num_threads)
+                         if num_threads > 0 and _pool_size(num_threads) > 1
+                         else None)
         self._encode_jobs = []
         self.segment_header = seg.SegmentHeader()
         self.segment_header.codec_identifier = k.XVC_CODEC_IDENTIFIER

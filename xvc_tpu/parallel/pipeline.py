@@ -24,7 +24,12 @@ def _pool_size(num_threads):
     workers pay GIL hand-offs around every native call, so on a loaded
     or small host extra workers only add contention.  Output is
     identical for any worker count by construction
-    (tests/test_threads.py)."""
+    (tests/test_threads.py).  XVC_THREADS_NO_CLAMP=1 disables the
+    clamp so the pipeline machinery itself stays testable on small
+    hosts (sessions route a clamped pool of 1 to the sequential
+    path)."""
+    if os.environ.get("XVC_THREADS_NO_CLAMP"):
+        return max(1, num_threads)
     hw = os.cpu_count() or num_threads
     return max(1, min(num_threads, hw))
 
