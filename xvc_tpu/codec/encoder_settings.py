@@ -69,6 +69,13 @@ class EncoderSettings:
     # device lookahead maps via a vectorized DP (tpu/wavefront_rdo.py);
     # implies tpu_intra_lookahead for intra pictures
     tpu_split_dp: int = 0
+    # device transform-RD intra mode prepass (tpu/txrd_prepass.py):
+    # K > 0 keeps only the top-K transform-aware candidates per aligned
+    # square block for the full RD search (native or Python), replacing
+    # the per-CU SATD pre-pass + 67-mode eval loop.  Conforming fast
+    # mode; open-loop ranking => different bitstream.  Enable via
+    #   -explicit-encoder-settings "tpu_txrd_prepass 2"
+    tpu_txrd_prepass: int = 0
     # CTU-tile-row extension (this framework only): >= 2 splits each
     # picture into that many CTU-row tiles with independent CABAC
     # contexts and prediction cut at tile tops, for in-picture parallel

@@ -61,6 +61,10 @@ class IntraSearch:
         # per-picture open-loop device cost maps ({n: [bh,bw,67]}), set
         # by PictureEncoder when tpu_intra_lookahead is enabled
         self.lookahead = None
+        # per-picture device transform-RD candidate maps
+        # ({n: [bh,bw,K]}, tpu/txrd_prepass.py), set by PictureEncoder
+        # when tpu_txrd_prepass is enabled
+        self.txrd_cands = None
 
     # ---- prediction ----
     def predict(self, cu, comp, mode, rec_pic, cu_decoder_helpers):
@@ -223,6 +227,24 @@ class IntraSearch:
         evaluated = [False] * k.NBR_INTRA_MODES_EXT
         mpm = intra_modes.get_predictor_luma(cu, restr)
         modes_cost = []
+
+        # Device transform-RD prepass short-circuit (tpu/txrd_prepass.py):
+        # the SATD pre-pass + mode-eval loop is replaced by the batched
+        # device ranking; the first two MPMs are appended so the exact
+        # RD still sees the neighbour modes.  Mirrors the native lookup
+        # (xvcn_enc.inc enc_intra_cand_lookup) bit for bit.
+        if (self.txrd_cands is not None and w == h and
+                cu.cu_tree == k.CuTree.PRIMARY and
+                w in self.txrd_cands and cx % w == 0 and cy % h == 0 and
+                cy // h < self.txrd_cands[w].shape[0] and
+                cx // w < self.txrd_cands[w].shape[1]):
+            entry = self.txrd_cands[w][cy // h, cx // w]
+            if (entry >= 0).all():
+                out = [int(m) for m in entry]
+                for i in range(min(mpm.num_neighbor_modes, 2)):
+                    if mpm[i] not in out:
+                        out.append(mpm[i])
+                return out
 
         # RD-equivalent fast mode: rank candidates from the whole-frame
         # open-loop device cost maps (xvc_tpu/tpu/lookahead.py) instead

@@ -106,6 +106,12 @@ class PictureEncoder:
             bit_writer.write_bits(1, 8)
         self._write_header(segment, pd, buffer_flag, bit_writer)
 
+        txrd_cands = None
+        if settings.tpu_txrd_prepass > 0:
+            from ..profiling import span
+            with span("encode.txrd_prepass"):
+                txrd_cands = self._compute_txrd_prepass(
+                    pd, segment, base_qp, settings)
         split_dp = None
         if settings.tpu_split_dp:
             # bottom-up batched split RDO (SURVEY.md §7 stage 4): device
@@ -121,14 +127,21 @@ class PictureEncoder:
             if split_dp is not None:
                 from ..tpu.wavefront_rdo import pack_force_maps
                 split_buf = pack_force_maps(split_dp, pd.width, pd.height)
+            cand_buf = None
+            if txrd_cands is not None:
+                from ..tpu.txrd_prepass import pack_intra_cands
+                cand_buf = pack_intra_cands(txrd_cands, pd.width,
+                                            pd.height,
+                                            settings.tpu_txrd_prepass)
             with span("encode.native"):
                 payload = native_enc.encode_picture(
                     self, segment, settings, base_qp,
-                    split_force=split_buf)
+                    split_force=split_buf, intra_cands=cand_buf)
             bit_writer.write_bytes(payload)
         else:
             cu_encoder = CuEncoder(self.orig_pic, self.rec_pic, pd, settings)
             cu_encoder.split_dp = split_dp
+            cu_encoder.intra_search.txrd_cands = txrd_cands
             if settings.tpu_intra_lookahead:
                 from ..tpu.lookahead import frame_intra_lookahead
                 cu_encoder.intra_search.lookahead = frame_intra_lookahead(
@@ -183,6 +196,21 @@ class PictureEncoder:
             self.pic_hash = b""
         self._calculate_stats(base_qp)
         return bit_writer.get_bytes()
+
+    def _compute_txrd_prepass(self, pd, segment, base_qp, settings):
+        """Device transform-RD intra candidate maps (or None when the
+        restriction set deviates from the default intra toolset the
+        batched device predictor implements — then the exact per-CU
+        search runs everywhere)."""
+        from .intra_search import _intra_restrictions_default
+        restr = segment.restrictions
+        if restr.disable_ext2_intra_67_modes or \
+                not _intra_restrictions_default(restr):
+            return None
+        from ..tpu.txrd_prepass import frame_txrd_prepass
+        return frame_txrd_prepass(
+            self.orig_pic.plane_view(0), pd.bitdepth, base_qp,
+            pd.is_intra_pic(), keep=settings.tpu_txrd_prepass)
 
     def _compute_split_dp(self, pd, segment, base_qp):
         """Device cost maps + on-device split DP -> force maps (or None

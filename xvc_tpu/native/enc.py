@@ -100,6 +100,9 @@ class XvcnEncPicParams(c.Structure):
         ("write_ns", c.c_int64),
         ("deblock_ns", c.c_int64),
         ("split_force", c.c_int64),
+        ("intra_cands", c.c_int64),
+        ("intra_cands_k", c.c_int32),
+        ("pad6_", c.c_int32),
     ]
 
 
@@ -128,11 +131,13 @@ def usable_for(pic_data, settings):
 
 
 def encode_picture(pic_encoder, segment, settings, base_qp,
-                   split_force=None):
+                   split_force=None, intra_cands=None):
     """Returns the CABAC payload bytes for one picture; the
     reconstruction is written into pic_encoder.rec_pic in place.
     split_force: optional packed int8 force-map buffer from
-    tpu/wavefront_rdo.pack_force_maps (device split DP)."""
+    tpu/wavefront_rdo.pack_force_maps (device split DP).
+    intra_cands: optional packed int8 candidate buffer from
+    tpu/txrd_prepass.pack_intra_cands (device transform-RD prepass)."""
     pd = pic_encoder.pic_data
     rec = pic_encoder.rec_pic
     orig = pic_encoder.orig_pic
@@ -222,8 +227,11 @@ def encode_picture(pic_encoder, segment, settings, base_qp,
 
     if split_force is not None:
         p.split_force = split_force.ctypes.data
+    if intra_cands is not None:
+        p.intra_cands = intra_cands.ctypes.data
+        p.intra_cands_k = settings.tpu_txrd_prepass
     keep_alive = [ctx.state, fam41, fam18, tx_blob, tx_offsets, restr_vec,
-                  out, mvfield, split_force] + \
+                  out, mvfield, split_force, intra_cands] + \
                  [orig.planes[i] for i in range(3)] + \
                  [rec.rec16(i) for i in range(3)]
     rpl = pd.ref_pic_lists
