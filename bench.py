@@ -197,7 +197,7 @@ def our_decode_timed(bitstream_path, expect_path, dsp, profile=False,
 
 def our_encode_timed(yuv, out, w, h, n_frames, speed_mode=2,
                      num_ref_pics=0, sub_gop_length=1, profile=False,
-                     threads=0, bitdepth=8, warm=False):
+                     threads=0, bitdepth=8, warm=False, explicit=""):
     """Encode in a fresh process; returns seconds of the encode loop
     only (interpreter/import cost excluded).  With profile=True returns
     (seconds, per-stage dict) — the per-TU native timers add ~10-15%
@@ -213,7 +213,7 @@ def our_encode_timed(yuv, out, w, h, n_frames, speed_mode=2,
         "p = api.EncoderParameters(width=%d, height=%d, qp=32,\n"
         "    input_bitdepth=%d, internal_bitdepth=%d,\n"
         "    num_ref_pics=%d, sub_gop_length=%d, speed_mode=%d,\n"
-        "    threads=%d)\n"
+        "    threads=%d, explicit_encoder_settings=%r)\n"
         "fs = %d * %d * 3 // 2 * (2 if %d > 8 else 1)\n"
         "def run():\n"
         "    enc = api.EncoderSession(p)\n"
@@ -234,8 +234,8 @@ def our_encode_timed(yuv, out, w, h, n_frames, speed_mode=2,
         "print('P=' + json.dumps({k: round(v['seconds'], 4) for k, v in\n"
         "                         profiling.report().items()}))\n"
         % (yuv, w, h, bitdepth, bitdepth, num_ref_pics,
-           sub_gop_length, speed_mode, threads, w, h, bitdepth, n_frames,
-           warm, profile, out))
+           sub_gop_length, speed_mode, threads, explicit, w, h, bitdepth,
+           n_frames, warm, profile, out))
     env = dict(os.environ, PYTHONPATH=PYPATH)
     r = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
                        capture_output=True, text=True, timeout=1800,
@@ -345,6 +345,7 @@ _SUMMARY_KEYS = (
     "encode_cif_ai_fast_vs_ref", "encode_720p_ld_fast_vs_ref",
     "encode_720p_ra_t4_vs_ref", "encode_720p_ra_t1_vs_ref",
     "encode_1080p_ra_s1_vs_ref", "encode_720p_ld_dp_speedup",
+    "encode_cif_ai_txrd_speedup", "encode_txrd_bits_delta_pct",
     "jax_decode_720p_ld_mpixs", "jaxcpu_decode_720p_ld_mpixs",
     "mesh8_sharded_encode_decode_byte_identical",
     "skipped_sections", "elapsed_seconds",
@@ -728,6 +729,57 @@ def sec_encode_dp(ctx):
             EXTRA["encode_720p_dp_psnr_delta_db"] = round(p3 - p2, 3)
 
 
+def sec_encode_txrd(ctx):
+    """Device transform-RD intra prepass (tpu/txrd_prepass.py, VERDICT
+    r4 item 8): batched predict+DCT+quant+rate ranking cuts the native
+    RD search's mode list.  Measured on all-intra mixed content where
+    intra search dominates; records E2E speedup (prepass cost included,
+    on whatever backend jax resolves), the native-side search reduction,
+    and bitrate/PSNR deltas."""
+    mix = os.path.join(WORK, "cif_mixed.yuv")
+    gen_yuv_mixed(mix, 352, 288, 4)
+    res = {}
+    for tag, exp in (("off", ""), ("on", "tpu_txrd_prepass 1")):
+        bs = os.path.join(WORK, "enc_txrd_%s.xvc" % tag)
+        t, prof = our_encode_timed(mix, bs, 352, 288, 4, speed_mode=2,
+                                   num_ref_pics=0, sub_gop_length=1,
+                                   warm=True, profile=True, explicit=exp)
+        res[tag] = (t, os.path.getsize(bs), bs, prof)
+    EXTRA["encode_cif_ai_txrd_speedup"] = round(
+        res["off"][0] / res["on"][0], 3)
+    EXTRA["encode_txrd_prepass_s"] = res["on"][3].get(
+        "encode.txrd_prepass", 0.0)
+    off_is = res["off"][3].get("encode.native.intra_search", 0.0)
+    on_is = res["on"][3].get("encode.native.intra_search", 0.0)
+    if off_is:
+        EXTRA["encode_txrd_intra_search_cut_pct"] = round(
+            100.0 * (1.0 - on_is / off_is), 1)
+    EXTRA["encode_txrd_bits_delta_pct"] = round(
+        100.0 * (res["on"][1] / res["off"][1] - 1.0), 2)
+    code = (
+        "import numpy as np\n"
+        "from xvc_tpu.codec.decoder import decode_stream\n"
+        "src = np.frombuffer(open(%r,'rb').read(), np.uint8)"
+        ".astype(np.int64)\n"
+        "out = []\n"
+        "for p in (%r, %r):\n"
+        "    pics = decode_stream(open(p,'rb').read())\n"
+        "    rec = np.concatenate([np.frombuffer(q.bytes, np.uint8)"
+        " for q in pics]).astype(np.int64)\n"
+        "    mse = ((src - rec) ** 2).mean()\n"
+        "    out.append(10 * np.log10(255.0 ** 2 / mse))\n"
+        "print('PSNR=%%.4f %%.4f' %% (out[0], out[1]))\n"
+        % (mix, res["off"][2], res["on"][2]))
+    r = subprocess.run([sys.executable, "-c", code],
+                       env=dict(os.environ, PYTHONPATH=PYPATH), cwd=REPO,
+                       capture_output=True, text=True,
+                       timeout=min(300, max(60, remaining())))
+    for ln in r.stdout.splitlines():
+        if ln.startswith("PSNR="):
+            p_off, p_on = map(float, ln[5:].split())
+            EXTRA["encode_txrd_psnr_delta_db"] = round(p_on - p_off, 3)
+
+
 def sec_encode_720p_threads(ctx):
     """Threaded encode, 4 workers both sides (picture-level pipeline vs
     reference ThreadEncoder, ref: src/xvc_enc_lib/thread_encoder.cc:
@@ -898,6 +950,7 @@ def main():
         ("mesh_4k", 210, sec_mesh_4k),
         ("jaxtpu_720p", 180, sec_jaxtpu_720p),
         ("encode_dp", 240, sec_encode_dp),
+        ("encode_txrd", 120, sec_encode_txrd),
         ("encode_720p_threads", 150, sec_encode_720p_threads),
         ("jaxcpu_720p", 75, sec_jaxcpu_720p),
         ("encode_placebo", 45, sec_encode_placebo),

@@ -152,6 +152,7 @@ class EncoderSettings:
             self.fast_inter_adaptive_fullpel_mv = 1
             if speed_mode == SpeedMode.TPU:
                 self.tpu_split_dp = 1
+                self.tpu_txrd_prepass = 1
         else:
             raise ValueError("bad speed mode")
 

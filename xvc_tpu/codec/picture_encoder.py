@@ -130,13 +130,14 @@ class PictureEncoder:
             cand_buf = None
             if txrd_cands is not None:
                 from ..tpu.txrd_prepass import pack_intra_cands
+                cand_k = next(iter(txrd_cands.values())).shape[2]
                 cand_buf = pack_intra_cands(txrd_cands, pd.width,
-                                            pd.height,
-                                            settings.tpu_txrd_prepass)
+                                            pd.height, cand_k)
             with span("encode.native"):
                 payload = native_enc.encode_picture(
                     self, segment, settings, base_qp,
-                    split_force=split_buf, intra_cands=cand_buf)
+                    split_force=split_buf, intra_cands=cand_buf,
+                    intra_cands_k=(cand_k if cand_buf is not None else 0))
             bit_writer.write_bytes(payload)
         else:
             cu_encoder = CuEncoder(self.orig_pic, self.rec_pic, pd, settings)

@@ -131,7 +131,7 @@ def usable_for(pic_data, settings):
 
 
 def encode_picture(pic_encoder, segment, settings, base_qp,
-                   split_force=None, intra_cands=None):
+                   split_force=None, intra_cands=None, intra_cands_k=0):
     """Returns the CABAC payload bytes for one picture; the
     reconstruction is written into pic_encoder.rec_pic in place.
     split_force: optional packed int8 force-map buffer from
@@ -229,7 +229,7 @@ def encode_picture(pic_encoder, segment, settings, base_qp,
         p.split_force = split_force.ctypes.data
     if intra_cands is not None:
         p.intra_cands = intra_cands.ctypes.data
-        p.intra_cands_k = settings.tpu_txrd_prepass
+        p.intra_cands_k = intra_cands_k
     keep_alive = [ctx.state, fam41, fam18, tx_blob, tx_offsets, restr_vec,
                   out, mvfield, split_force, intra_cands] + \
                  [orig.planes[i] for i in range(3)] + \

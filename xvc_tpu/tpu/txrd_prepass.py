@@ -76,20 +76,28 @@ def _parseval_gain2(n, bitdepth, use_dst):
     return float(np.mean(g))
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def _txrd_step(orig, top, left, n, bitdepth, keep, is_intra_slice,
-               quant_params):
+               screen_step, quant_params):
     """One block-batch mode evaluation.
 
     orig [B,n,n] int32, top [B,2n+1], left [B,2n] int32.
+    screen_step > 1 predicts planar/DC + every screen_step-th angular
+    mode only (the reference's own pass-1 evaluates evens, ref:
+    intra_search.cc:236-247) — halves the dense prediction einsum, the
+    prepass FLOP hog; the transform re-rank then decides among the
+    screened survivors.
     quant_params: (scale, shift, inv_scale, inv_shift, lam) f32 scalars
     traced so one compiled program serves every QP.
-    Returns [B, keep] int32 mode indices, best first.
+    Returns [B, keep] int32 mode indices (true 0..66 numbering), best
+    first.
     """
-    weights = jnp.asarray(ib.angular_weight_tensor(n))
-    post_filter = n <= 16
+    weights = jnp.asarray(ib.angular_weight_tensor(n)[::screen_step])
+    # the batched post filter edits fixed full-set mode positions, so
+    # it is only applicable on the unstrided tensor
+    post_filter = n <= 16 and screen_step == 1
     preds = ib.predict_all_modes(n, top, left, weights, bitdepth,
-                                 post_filter)                 # [B,67,n,n]
+                                 post_filter)            # [B,M,n,n]
     diff = orig[:, None].astype(jnp.int32) - preds
     satd = satd_mod.satd_square(diff, bitdepth)               # [B,67]
 
@@ -129,7 +137,11 @@ def _txrd_step(orig, top, left, n, bitdepth, keep, is_intra_slice,
     cost = dist + lam * bits                                  # [B,m]
 
     _, order = jax.lax.top_k(-cost, keep)                     # [B,keep]
-    return jnp.take_along_axis(cand, order, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(cand, order, axis=1)
+    # subset index -> true mode number (0/1 = planar/DC, then angular
+    # modes 2 + screen_step*i)
+    return jnp.where(best < 2, best,
+                     (best - 2) * screen_step + 2).astype(jnp.int32)
 
 
 def _extract_grid_fast(frame, n):
@@ -161,7 +173,7 @@ def _extract_grid_fast(frame, n):
 
 
 def frame_txrd_prepass(luma_plane, bitdepth, qp, is_intra_pic, keep=2,
-                       sizes=SIZES):
+                       sizes=SIZES, screen_step=1):
     """Whole-picture device transform-RD mode maps.
 
     Returns {n: int32 [bh, bw, keep]} candidate mode indices (best
@@ -169,6 +181,7 @@ def frame_txrd_prepass(luma_plane, bitdepth, qp, is_intra_pic, keep=2,
     size fits the picture."""
     frame = np.ascontiguousarray(luma_plane, dtype=np.int32)
     h, w = frame.shape
+    keep = max(1, min(keep, SATD_KEEP))
     lam = float(qp.get_lambda())
     maps = {}
     for n in sizes:
@@ -200,7 +213,7 @@ def frame_txrd_prepass(luma_plane, bitdepth, qp, is_intra_pic, keep=2,
                 cl = np.concatenate([cl, cl[:1].repeat(pad, 0)])
             outs.append(_txrd_step(
                 jnp.asarray(co), jnp.asarray(ct), jnp.asarray(cl),
-                n, bitdepth, keep, bool(is_intra_pic),
+                n, bitdepth, keep, bool(is_intra_pic), screen_step,
                 tuple(jnp.float32(p) for p in params))[:e - s])
         cands = np.asarray(jnp.concatenate(outs, axis=0)) if len(outs) > 1 \
             else np.asarray(jax.device_get(outs[0]))
